@@ -448,13 +448,22 @@ def grid_canonical_flat(spark: SparkSession, n: int) -> DataFrame:
         street,
         town,
     )
+    # postcode sector is injective in street_idx (ZZ1..ZZ80 outward x 8x8
+    # inward letter pairs covers 5120 >= N_STREETS): one street per sector,
+    # as in real UK postcodes; houses split into inward digit groups of 24
     outward = F.concat(
         F.lit("ZZ"), ((F.col("street_idx") % 80) + 1).cast("string")
     )
     inward = F.concat(
         (((F.col("house_no") / 24).cast("long") % 9) + 1).cast("string"),
-        F.element_at(F.array(*[F.lit(c) for c in "ABCDEFGH"]), ((F.col("street_idx") % 8) + 1).cast("int")),
-        F.element_at(F.array(*[F.lit(c) for c in "RSTUVWXY"]), (((F.col("street_idx") / 8).cast("long") % 8) + 1).cast("int")),
+        F.element_at(
+            F.array(*[F.lit(c) for c in "ABCDEFGH"]),
+            (((F.col("street_idx") / 80).cast("long") % 8) + 1).cast("int"),
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in "RSTUVWXY"]),
+            (((F.col("street_idx") / 640).cast("long") % 8) + 1).cast("int"),
+        ),
     )
     postcode = F.concat_ws(" ", outward, inward)
     return df.select(
@@ -475,7 +484,7 @@ def messy_from_canonical(canonical_flat: DataFrame, dup_factor: int = 1) -> tupl
     reps = F.explode(F.sequence(F.lit(0), F.lit(dup_factor - 1)))
     df = canonical_flat.select("*", reps.alias("rep"))
     m_id = F.concat(F.lit("m"), F.expr("substring(unique_id, 2)"), F.lit("-"), F.col("rep"))
-    v = F.abs(F.xxhash64(F.lit("noise"), m_id)) % 8
+    v = F.abs(F.xxhash64(F.lit("noise"), m_id)) % 10
 
     addr = F.col("address_concat")
     toks = F.split(addr, " ")
@@ -488,10 +497,24 @@ def messy_from_canonical(canonical_flat: DataFrame, dup_factor: int = 1) -> tupl
         .when(v == 4, F.array_join(F.slice(toks, 1, F.size(toks) - 1), " "))  # town dropped
         .when(v == 5, F.concat(addr, F.lit(" UNITED KINGDOM")))  # extra suffix
         .when(v == 6, F.regexp_replace(addr, r"^FLAT ([A-Z0-9]+) ", r"$1 "))  # FLAT dropped
-        .otherwise(F.concat(addr, F.lit("'S")))  # apostrophe noise
+        .when(v == 7, F.concat(addr, F.lit("'S")))  # apostrophe noise
+        .when(
+            v == 8,  # street kind dropped ('CHURCH ROAD' -> 'CHURCH')
+            F.regexp_replace(
+                addr, r" (ROAD|STREET|LANE|AVENUE|CLOSE|DRIVE|GROVE|CRESCENT) ", " "
+            ),
+        )
+        .otherwise(addr)  # v == 9: postcode typo below, address untouched
     )
     pc = F.col("postcode")
-    noisy_pc = F.when(v == 2, F.regexp_replace(pc, " ", "")).otherwise(pc)
+    noisy_pc = (
+        F.when(v == 2, F.regexp_replace(pc, " ", ""))
+        # outward-district typo: recoverable via the n1+u1+inward rule
+        # (an inward typo on a single-rare-token street is unblockable
+        # under the reference's 18 rules — by design, not noise)
+        .when(v == 9, F.regexp_replace(pc, r"^.", "Q"))
+        .otherwise(pc)
+    )
 
     messy = df.select(
         m_id.alias("unique_id"),
@@ -512,3 +535,41 @@ def grid_documents(
     canon = grid_canonical_flat(spark, n_canonical)
     messy, labels = messy_from_canonical(canon, dup_factor)
     return to_documents(canon), to_documents(messy), labels
+
+
+def domain_token_frequencies(spark: SparkSession) -> DataFrame:
+    """Deterministic domain TF table (token, rel_freq).
+
+    The reference ships a 298k-row TF table computed from a much larger
+    external corpus (uk_address_matcher/data/address_token_frequencies.parquet,
+    loaded at cleaning_pipelines.py:121-129) — absolute rarity, not
+    corpus-relative. This is our equivalent: street names are rare
+    (1e-6..9e-5, populating the unusual/very-unusual bands the blocking
+    rules key on), street kinds and towns are common. Tokens absent here
+    default to 5e-5 at attachment (cleaning_steps.py:339).
+    """
+    import zlib
+
+    rows: list[tuple[str, float]] = []
+    for name in _STREET_NAMES:
+        for tok in name.split():
+            h = zlib.crc32(tok.encode()) % 90
+            rows.append((tok, 1e-6 + h * 1e-6))
+    for i, kind in enumerate(_STREET_KINDS):
+        rows.append((kind, 0.02 + 0.007 * i))
+    for i, town in enumerate(_TOWNS):
+        for tok in town.split():
+            rows.append((tok, 0.004 + 0.002 * (i % 10)))
+    for tok in ["FLAT", "UNIT", "APARTMENT", "HOUSE", "COTTAGE", "ANNEXE", "THE"]:
+        rows.append((tok, 0.012))
+    for tok in ["BASEMENT", "GROUND", "FIRST", "SECOND", "THIRD", "TOP", "FLOOR", "FLOORS", "GARDEN", "AND"]:
+        rows.append((tok, 0.008))
+    for tok in ["UNITED", "KINGDOM"]:
+        rows.append((tok, 0.002))
+    # dedupe (multi-word names/towns can repeat a token); keep max freq
+    best: dict[str, float] = {}
+    for tok, f in rows:
+        best[tok] = max(best.get(tok, 0.0), f)
+    return spark.createDataFrame(
+        sorted(best.items()), "token string, rel_freq double"
+    )

@@ -1,0 +1,90 @@
+"""High-level linkage driver: side tables + clean + block + score + rescore.
+
+The side tables (token TF, numeric TF, common end tokens) are tiny (at
+most a few hundred thousand rows); they are materialised to the driver
+once and re-created as local DataFrames so their (full-cleaning-queue)
+plans are never re-executed by downstream broadcast joins — without this,
+every broadcast re-runs the generating pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.blocking import block
+from uk_address_matcher_spark.cleaning import (
+    clean_addresses,
+    get_address_token_frequencies,
+    get_common_end_tokens,
+    get_numeric_term_frequencies,
+)
+from uk_address_matcher_spark.scoring import score_pairs
+from uk_address_matcher_spark.second_pass import (
+    improve_predictions_using_distinguishing_tokens,
+)
+
+
+@dataclass
+class SideTables:
+    rel_tok_freq: DataFrame  # (token, rel_freq)
+    numeric_tf: DataFrame  # (numeric_token, tf_numeric_token)
+    common_end_tokens: list[str]
+
+
+def build_side_tables(
+    spark: SparkSession,
+    corpus_flat: DataFrame,
+    common_end_min_share: float = 0.01,
+    rel_tok_freq: DataFrame | None = None,
+) -> SideTables:
+    """``rel_tok_freq`` (precomputed domain TF, e.g.
+    corpus.domain_token_frequencies) mirrors the reference's
+    clean_data_using_precomputed_rel_tok_freq path; when None, TF is
+    computed from the corpus itself (clean_data_on_the_fly path)."""
+    if rel_tok_freq is None:
+        tf_rows = get_address_token_frequencies(corpus_flat).collect()
+        tf = spark.createDataFrame(tf_rows, "token string, rel_freq double")
+    else:
+        tf = spark.createDataFrame(
+            rel_tok_freq.collect(), "token string, rel_freq double"
+        )
+    ntf_rows = get_numeric_term_frequencies(corpus_flat).collect()
+    cet = get_common_end_tokens(corpus_flat, min_share=common_end_min_share)
+    ntf = spark.createDataFrame(ntf_rows, "numeric_token string, tf_numeric_token double")
+    return SideTables(rel_tok_freq=tf, numeric_tf=ntf, common_end_tokens=cet)
+
+
+def link_addresses(
+    canonical_flat: DataFrame,
+    messy_flat: DataFrame,
+    side: SideTables,
+    rules=None,
+    salt: int = 1,
+    threshold_match_weight: float = -50.0,
+    second_pass: bool = True,
+    checkpointer=None,
+) -> DataFrame:
+    """Full two-pass linkage. ``checkpointer`` (optional,
+    checkpoint.CheckpointManager) persists each pass for lineage/resume."""
+    cl = clean_addresses(canonical_flat, side.rel_tok_freq, side.common_end_tokens)
+    cr = clean_addresses(messy_flat, side.rel_tok_freq, side.common_end_tokens)
+    if checkpointer is not None:
+        cl = checkpointer.checkpoint(cl, "cleaned_canonical")
+        cr = checkpointer.checkpoint(cr, "cleaned_messy")
+    pairs = block(cl, cr, rules=rules, salt=salt)
+    if checkpointer is not None:
+        pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
+    pred = score_pairs(
+        pairs, cl, cr, side.numeric_tf, threshold_match_weight=threshold_match_weight
+    )
+    if checkpointer is not None:
+        pred = checkpointer.checkpoint(pred, "predictions_pass1")
+    if not second_pass:
+        return pred
+    improved = improve_predictions_using_distinguishing_tokens(pred)
+    if checkpointer is not None:
+        improved = checkpointer.checkpoint(improved, "predictions_pass2")
+    return improved

@@ -1,0 +1,366 @@
+"""Fellegi-Sunter pairwise scoring: 8 comparisons, first-match-wins levels.
+
+The model is the reference's hard-coded one
+(/root/reference/uk_address_matcher/linking_model/training.py:11-587,
+persisted as data/splink_model.json): prior
+probability_two_random_records_match = 3e-8; each comparison is a CASE
+cascade whose stored "m_probability" values are literally Bayes factors
+because u is fixed at 1 (training.py:42 uses 2^weight) except where noted
+(num_3, original_address_concat, common_end, postcode carry explicit m/u
+pairs -> BF = m/u).
+
+match_weight = log2(prior odds) + sum(log2(BF_c)); p = 2^w / (1 + 2^w).
+
+Spark realisation: one wide projection computing all comparison BFs as
+when-cascades over the joined pair row; the 34-level histogram comparison
+computes its product expression ONCE (let-bound) and buckets it with a
+when ladder — the reference re-inlines the product per level
+(splink_model.json:337-607), which we deliberately do not.
+
+TF adjustment (Splink public semantics): on a matched level with
+tf_adjustment_column c and weight w, BF *= (u_level / tf(c))^w with
+tf = greatest(tf_l, tf_r) from the numeric-token TF table; no adjustment
+when the value is absent. (training.py:176-178, 242-244, 293-295, 302-304)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.cleaning.steps import let
+
+PRIOR_P = 3e-8
+PRIOR_LOG2_ODDS = math.log2(PRIOR_P / (1 - PRIOR_P))
+
+
+def _w2bf(weight: float) -> float:
+    return float(2.0**weight)
+
+
+def hist_intersection_product(hl: Column, hr: Column) -> Column:
+    """Product over tokens present in both histograms of
+    rel_freq ^ min(cnt_l, cnt_r); 1.0 when no overlap.
+
+    Reference: array_reduce_by_freq, training.py:323-357.
+    """
+    return F.aggregate(
+        F.map_entries(hl),
+        F.lit(1.0),
+        lambda acc, e: acc
+        * F.coalesce(
+            F.when(
+                F.try_element_at(hr, e["key"]).isNotNull(),
+                F.pow(
+                    e["value"]["rel_freq"],
+                    F.least(
+                        e["value"]["cnt"], F.try_element_at(hr, e["key"])["cnt"]
+                    ).cast("double"),
+                ),
+            ),
+            F.lit(1.0),
+        ),
+    )
+
+
+def _tf_multiplier(u_level: float, tf_weight: float, tf_l: Column, tf_r: Column) -> Column:
+    tf = F.greatest(tf_l, tf_r)
+    return F.coalesce(
+        F.when(tf.isNotNull(), F.pow(F.lit(u_level) / tf, F.lit(tf_weight))),
+        F.lit(1.0),
+    )
+
+
+def _cascade(levels: list[tuple[Column, Column]]) -> Column:
+    """[(condition, bf_column)] -> first-match-wins BF column."""
+    expr = None
+    for cond, bf in levels[:-1]:
+        expr = F.when(cond, bf) if expr is None else expr.when(cond, bf)
+    return expr.otherwise(levels[-1][1])
+
+
+def comparison_bfs(retain_product: bool = False) -> dict[str, Column]:
+    """All 8 comparison BF columns over a suffixed pair row (cols *_l/*_r
+    plus tf_numeric_token_{1,2,3}_{l,r})."""
+    c = F.col
+
+    # 1. original_address_concat — cl.ExactMatch u=[1,2] m=[15,1] (training.py:14-16)
+    oac = _cascade(
+        [
+            (c("original_address_concat_l").isNull() | c("original_address_concat_r").isNull(), F.lit(1.0)),
+            (c("original_address_concat_l") == c("original_address_concat_r"), F.lit(15.0)),
+            (F.lit(True), F.lit(1 / 2)),
+        ]
+    )
+
+    # 2. flat_positional (training.py:94-157)
+    fp = _cascade(
+        [
+            (
+                c("flat_positional_l").isNull()
+                & c("flat_positional_r").isNull()
+                & c("flat_letter_l").isNull()
+                & c("flat_letter_r").isNull(),
+                F.lit(1.0),
+            ),
+            (c("flat_positional_l") == c("flat_positional_r"), F.lit(_w2bf(6.57))),
+            (c("flat_letter_l") == c("flat_letter_r"), F.lit(_w2bf(6.57))),
+            (
+                (c("flat_letter_l") == c("numeric_token_1_r"))
+                | (c("flat_letter_r") == c("numeric_token_1_l")),
+                F.lit(_w2bf(0)),
+            ),
+            (
+                (
+                    c("flat_positional_l").isNotNull()
+                    & c("flat_positional_r").isNull()
+                    & c("flat_letter_r").isNotNull()
+                )
+                | (
+                    c("flat_positional_r").isNotNull()
+                    & c("flat_positional_l").isNull()
+                    & c("flat_letter_l").isNotNull()
+                ),
+                F.lit(_w2bf(0)),
+            ),
+            (F.lit(True), F.lit(_w2bf(-5))),
+        ]
+    )
+
+    # 3. numeric_token_1 (training.py:160-219)
+    digits = lambda col: F.nullif(F.regexp_extract(col, r"\d+", 0), F.lit(""))  # noqa: E731
+    n1 = _cascade(
+        [
+            (c("numeric_token_1_l").isNull() | c("numeric_token_1_r").isNull(), F.lit(1.0)),
+            (
+                c("numeric_token_1_l") == c("numeric_token_1_r"),
+                F.lit(_w2bf(6.57))
+                * _tf_multiplier(1.0, 0.1, c("tf_numeric_token_1_l"), c("tf_numeric_token_1_r")),
+            ),
+            (
+                digits(c("numeric_token_1_l")) == digits(c("numeric_token_1_r")),
+                F.lit(_w2bf(6.57))
+                * _tf_multiplier(1.0, 0.1, c("tf_numeric_token_1_l"), c("tf_numeric_token_1_r")),
+            ),
+            (
+                (c("numeric_token_2_l") == c("numeric_token_1_r"))
+                | (c("numeric_token_1_l") == c("numeric_token_2_r")),
+                F.lit(_w2bf(2)),
+            ),
+            # level 5 of the reference (NULL OR NULL, weight -4) is shadowed
+            # by level 1 — kept out; ELSE:
+            (F.lit(True), F.lit(_w2bf(-8))),
+        ]
+    )
+
+    # 4. numeric_token_2 (training.py:222-273)
+    n2 = _cascade(
+        [
+            (c("numeric_token_2_l").isNull() & c("numeric_token_2_r").isNull(), F.lit(1.0)),
+            (
+                c("numeric_token_2_l") == c("numeric_token_2_r"),
+                F.lit(_w2bf(6.57))
+                * _tf_multiplier(1.0, 0.1, c("tf_numeric_token_2_l"), c("tf_numeric_token_2_r")),
+            ),
+            (
+                (c("numeric_token_1_l") == c("numeric_token_2_r"))
+                | (c("numeric_token_1_r") == c("numeric_token_2_l")),
+                F.lit(_w2bf(0)),
+            ),
+            (c("numeric_token_2_l").isNull() | c("numeric_token_2_r").isNull(), F.lit(_w2bf(-2))),
+            (F.lit(True), F.lit(_w2bf(-4))),
+        ]
+    )
+
+    # 5. numeric_token_3 — explicit m/u pairs (training.py:281-320)
+    n3 = _cascade(
+        [
+            (c("numeric_token_3_l").isNull() & c("numeric_token_3_r").isNull(), F.lit(1.0)),
+            (
+                c("numeric_token_3_l") == c("numeric_token_3_r"),
+                F.lit(0.6 / 0.0001)
+                * _tf_multiplier(0.0001, 0.5, c("tf_numeric_token_3_l"), c("tf_numeric_token_3_r")),
+            ),
+            (
+                c("numeric_token_2_l") == c("numeric_token_3_r"),
+                F.lit(0.3 / 0.0025)
+                * _tf_multiplier(0.0025, 0.5, c("tf_numeric_token_3_l"), c("tf_numeric_token_3_r")),
+            ),
+            (c("numeric_token_3_l").isNull() | c("numeric_token_3_r").isNull(), F.lit(1 / 16)),
+            (F.lit(True), F.lit(1 / 256)),
+        ]
+    )
+
+    # 6. token_rel_freq_arr_hist — 34 product-threshold levels
+    #    (training.py:386-455); product computed once, bucketed by ladder
+    levels = _token_hist_levels()
+
+    def bucket(prod: Column) -> Column:
+        expr = None
+        for threshold_exp, weight in levels:
+            cond = prod < float(10.0**threshold_exp)
+            bf = F.lit(_w2bf(weight))
+            expr = F.when(cond, bf) if expr is None else expr.when(cond, bf)
+        return expr.otherwise(F.lit(1 / 256))
+
+    tok_hist = F.when(
+        c("token_rel_freq_arr_hist_l").isNull() | c("token_rel_freq_arr_hist_r").isNull(),
+        F.lit(1.0),
+    ).otherwise(
+        let(
+            hist_intersection_product(
+                c("token_rel_freq_arr_hist_l"), c("token_rel_freq_arr_hist_r")
+            ),
+            bucket,
+        )
+    )
+
+    # 7. common_end_tokens (training.py:458-486)
+    cet = F.when(
+        c("common_end_tokens_hist_l").isNull() | c("common_end_tokens_hist_r").isNull(),
+        F.lit(1.0),
+    ).otherwise(
+        F.when(
+            hist_intersection_product(
+                c("common_end_tokens_hist_l"), c("common_end_tokens_hist_r")
+            )
+            < 1e-2,
+            F.lit(4.0),
+        ).otherwise(F.lit(1 / 1.5))
+    )
+
+    # 8. postcode (training.py:489-546)
+    pc = _cascade(
+        [
+            (c("postcode_l").isNull() & c("postcode_r").isNull(), F.lit(1.0)),
+            (c("postcode_l") == c("postcode_r"), F.lit(3e6)),
+            (F.levenshtein(c("postcode_l"), c("postcode_r")) <= 1, F.lit(10000.0)),
+            (F.levenshtein(c("postcode_l"), c("postcode_r")) <= 2, F.lit(5000.0)),
+            (
+                F.split_part(c("postcode_l"), F.lit(" "), F.lit(1))
+                == F.split_part(c("postcode_r"), F.lit(" "), F.lit(1)),
+                F.lit(3000.0),
+            ),
+            (
+                F.split_part(c("postcode_l"), F.lit(" "), F.lit(2))
+                == F.split_part(c("postcode_r"), F.lit(" "), F.lit(2)),
+                F.lit(2000.0),
+            ),
+            (F.lit(True), F.lit(1 / 64)),
+        ]
+    )
+
+    return {
+        "bf_original_address_concat": oac,
+        "bf_flat_positional": fp,
+        "bf_numeric_token_1": n1,
+        "bf_numeric_token_2": n2,
+        "bf_numeric_token_3": n3,
+        "bf_token_rel_freq_arr_hist": tok_hist,
+        "bf_common_end_tokens": cet,
+        "bf_postcode": pc,
+    }
+
+
+def _token_hist_levels() -> list[tuple[int, float]]:
+    """(threshold_exponent, weight) pairs, most-negative exponent first —
+    generate_arr_reduce_data(4, -4, [8,8,8,10], [1,1,0.25,0.25]) reversed
+    (training.py:386-418)."""
+    data = []
+    current_exp, current_weight = 4, -4.0
+    for segment, delta in zip([8, 8, 8, 10], [1.0, 1.0, 0.25, 0.25]):
+        for _ in range(segment):
+            data.append((current_exp, current_weight))
+            current_weight += delta
+            current_exp -= 1
+    return data[::-1]
+
+
+def _suffix(df: DataFrame, suffix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
+
+
+def attach_numeric_tf(df: DataFrame, numeric_tf: DataFrame, suffix: str) -> DataFrame:
+    """Broadcast-join tf_numeric_token_k for k=1..3 on one side's columns."""
+    for k in (1, 2, 3):
+        tf = F.broadcast(
+            numeric_tf.select(
+                F.col("numeric_token").alias(f"numeric_token_{k}{suffix}"),
+                F.col("tf_numeric_token").alias(f"tf_numeric_token_{k}{suffix}"),
+            )
+        )
+        df = df.join(tf, f"numeric_token_{k}{suffix}", "left")
+    return df
+
+
+def score_pairs(
+    pairs: DataFrame,
+    cleaned_l: DataFrame,
+    cleaned_r: DataFrame,
+    numeric_tf: DataFrame | None = None,
+    threshold_match_weight: float | None = None,
+    retain_bf: bool = False,
+) -> DataFrame:
+    """(unique_id_l, unique_id_r) pairs -> scored prediction table.
+
+    Two hash joins attach the wide cleaned attributes AFTER pair dedup
+    (ids only move through the blocking shuffle), then one projection
+    computes all BFs and the weight; the threshold filter sits directly
+    above it so Catalyst can prune early.
+    """
+    left = _suffix(cleaned_l, "_l")
+    right = _suffix(cleaned_r, "_r")
+    df = pairs.join(left, "unique_id_l").join(right, "unique_id_r")
+
+    if numeric_tf is not None:
+        df = attach_numeric_tf(df, numeric_tf, "_l")
+        df = attach_numeric_tf(df, numeric_tf, "_r")
+    else:
+        for k in (1, 2, 3):
+            df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(None).cast("double"))
+            df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
+
+    bfs = comparison_bfs()
+    for name, expr in bfs.items():
+        df = df.withColumn(name, expr)
+
+    log_sum = None
+    for name in bfs:
+        term = F.log2(F.col(name))
+        log_sum = term if log_sum is None else log_sum + term
+    df = df.withColumn("match_weight", F.lit(PRIOR_LOG2_ODDS) + log_sum)
+    df = df.withColumn(
+        "match_probability",
+        F.pow(F.lit(2.0), F.col("match_weight"))
+        / (F.lit(1.0) + F.pow(F.lit(2.0), F.col("match_weight"))),
+    )
+    if threshold_match_weight is not None:
+        df = df.filter(F.col("match_weight") > threshold_match_weight)
+    if not retain_bf:
+        df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
+    return df
+
+
+def predict(
+    cleaned_l: DataFrame,
+    cleaned_r: DataFrame,
+    numeric_tf: DataFrame | None = None,
+    rules=None,
+    salt: int = 1,
+    threshold_match_weight: float | None = None,
+    retain_bf: bool = False,
+) -> DataFrame:
+    """block + score — the reference's linker.inference.predict equivalent."""
+    from uk_address_matcher_spark.blocking import block
+
+    pairs = block(cleaned_l, cleaned_r, rules=rules, salt=salt)
+    return score_pairs(
+        pairs,
+        cleaned_l,
+        cleaned_r,
+        numeric_tf,
+        threshold_match_weight=threshold_match_weight,
+        retain_bf=retain_bf,
+    )

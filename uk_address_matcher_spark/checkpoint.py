@@ -1,0 +1,114 @@
+"""Per-pass durable checkpoints with lineage + per-partition metrics + resume.
+
+Each pipeline pass (cleaned tables, blocked pairs, pass-1/pass-2
+predictions, clustering iterations) can be checkpointed: the DataFrame is
+written out, a manifest entry records lineage (name, path, schema,
+row/partition counts), and the returned DataFrame reads back from storage
+— truncating lineage exactly where the reference inserts DuckDB temp-table
+materialisation barriers (cleaning_pipelines.py:85-94,131-146).
+
+Resume: a re-run with the same base path skips any pass whose manifest
+entry is complete (``resume=True``), reading the stored result instead of
+recomputing — the north rule's resumability requirement.
+
+Storage: parquet directories by default (this sandbox ships no Iceberg
+runtime). On a cluster with an Iceberg catalog, pass ``table_format=
+'iceberg'`` and ``table_prefix='catalog.db.'`` — writes become
+``writeTo(...).createOrReplace()`` and every checkpoint is an Iceberg
+snapshot with time-travel, which subsumes this manifest's lineage role.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        resume: bool = False,
+        table_format: str = "parquet",
+        table_prefix: str = "",
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.resume = resume
+        self.table_format = table_format
+        self.table_prefix = table_prefix
+        self.collect_metrics = collect_metrics
+        os.makedirs(self.base_path, exist_ok=True)
+        self.manifest_path = os.path.join(self.base_path, "_manifest.json")
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"passes": {}}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def has(self, name: str) -> bool:
+        entry = self.manifest["passes"].get(name)
+        return bool(entry and entry.get("complete"))
+
+    def read(self, name: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.read.table(self.table_prefix + name)
+        return self.spark.read.parquet(self._path(name))
+
+    def checkpoint(self, df: DataFrame, name: str) -> DataFrame:
+        """Write ``df`` under ``name`` (skipping if resumable) and return a
+        DataFrame reading from storage."""
+        if self.resume and self.has(name):
+            return self.read(name)
+        t0 = time.time()
+        if self.table_format == "iceberg":
+            df.writeTo(self.table_prefix + name).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self._path(name))
+        out = self.read(name)
+        entry: dict = {
+            "path": self._path(name),
+            "format": self.table_format,
+            "schema": out.schema.simpleString(),
+            "wall_seconds": round(time.time() - t0, 3),
+            "complete": True,
+        }
+        if self.collect_metrics:
+            # per-partition row counts: lineage metric for skew diagnosis
+            parts = (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .agg(
+                    F.count("*").alias("n_partitions"),
+                    F.sum("count").alias("n_rows"),
+                    F.max("count").alias("max_partition_rows"),
+                    F.min("count").alias("min_partition_rows"),
+                )
+                .collect()[0]
+            )
+            entry["metrics"] = {
+                "n_rows": int(parts["n_rows"] or 0),
+                "n_partitions": int(parts["n_partitions"] or 0),
+                "max_partition_rows": int(parts["max_partition_rows"] or 0),
+                "min_partition_rows": int(parts["min_partition_rows"] or 0),
+            }
+        self.manifest["passes"][name] = entry
+        self._save_manifest()
+        return out

@@ -1,0 +1,134 @@
+"""Training-data operator tests: dedup, similarity, analysis, multimodal."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.corpus import edge_case_documents
+from uk_address_matcher_spark.textops import analysis as A
+from uk_address_matcher_spark.textops import dedup as D
+from uk_address_matcher_spark.textops import multimodal as M
+from uk_address_matcher_spark.textops import similarity as S
+
+DOCS = [
+    ("d1", "The quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy dog!"),  # exact dup after norm
+    ("d3", "The quick brown fox jumps over a sleepy dog"),   # near dup
+    ("d4", "Completely different content about spark shuffles and joins"),
+    ("d5", "le chat et la souris et le fromage des alpes"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    out = D.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["keep_doc_id"] == "d1"
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs and pairs[("d1", "d3")] < 1.0
+    assert not any("d4" in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs, verify_threshold=0.3).collect()}
+    assert ("d1", "d2") in pairs
+
+
+def test_simhash_exact_dups_equal(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert out["d1"] == out["d2"]
+    assert out["d1"] != out["d4"]
+
+
+def test_md5_int_matches_duckdb(spark):
+    df = spark.createDataFrame([("hello",), ("WORLD",)], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", A.md5_int(F.col("t")).alias("h")).collect()}
+    for t, h in got.items():
+        expected = duckdb.sql(
+            f"SELECT ('0x' || substring(md5('{t}'),1,8))::BIGINT"
+        ).fetchone()[0]
+        assert h == expected, t
+
+
+def test_quality_and_language(spark, docs):
+    q = {r["doc_id"]: r for r in A.quality_features(docs).collect()}
+    assert q["d1"]["n_tokens"] == 9
+    assert q["d2"]["punct_ratio"] > 0
+    lang = {r["doc_id"]: r["lang_guess"] for r in A.language_guess(docs).collect()}
+    assert lang["d1"] == "en"
+    assert lang["d5"] == "fr"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "gamma beta alpha")], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in A.fingerprint(df).collect()}
+    assert out["a"] != out["b"]
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)]
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    approx = S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=16, k=3, n_planes=4)
+    got = approx.collect()
+    assert all(r["rank"] <= 3 for r in got)
+    assert len({r["query_id"] for r in got}) >= 1
+
+
+def test_multimodal_pipeline(spark):
+    docs, _ = edge_case_documents(spark)
+    media = M.media_table(docs)
+    n_media = media.count()
+    assert n_media > 10
+    decoded = M.decode_media(media)
+    assert decoded.count() == n_media
+    row = decoded.first()
+    assert len(row["content"]) == 64
+    feats = M.extract_features(decoded)
+    frow = feats.first()
+    assert len(frow["feature"]) == 8
+    # deterministic: same media_ref -> same feature
+    f2 = M.extract_features(decoded)
+    assert f2.exceptAll(feats).count() == 0
+    frames = M.sample_frames(decoded, every_n=50)
+    vids = decoded.filter(F.col("media_kind") == "video").count()
+    if vids:
+        assert frames.count() >= vids
+
+
+def test_decode_media_real_path_raises(spark):
+    docs, _ = edge_case_documents(spark)
+    media = M.media_table(docs)
+    with pytest.raises(Exception) as exc_info:
+        M.decode_media(media, deterministic_fake=False).count()
+    assert "NotImplementedError" in str(exc_info.value) or "real media decode" in str(
+        exc_info.value
+    )

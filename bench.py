@@ -1,0 +1,143 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline set:
+ - addr_link_2pass: the flagship — full two-pass address linkage +
+   clustering over a grid corpus sized to the scale factor (sf0.1 ->
+   50k canonical + 50k messy interleaved documents)
+ - dedup_minhash_lsh / dedup_exact: documents-table dedup
+ - knn_bruteforce: embedding similarity search
+ - pricing_summary: relational aggregate over lineitem
+ - doc_quality_fingerprint: text-analysis scan
+
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+tools/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_size(sf: float) -> int:
+    return max(int(500_000 * sf), 1000)
+
+
+def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from uk_address_matcher_spark.corpus import (
+        domain_token_frequencies,
+        grid_documents,
+    )
+    from uk_address_matcher_spark.clustering import cluster_predictions
+    from uk_address_matcher_spark.extract import extract_addresses
+    from uk_address_matcher_spark.linkage import build_side_tables, link_addresses
+    from uk_address_matcher_spark.session import get_spark
+    from uk_address_matcher_spark.textops.analysis import fingerprint, quality_features
+    from uk_address_matcher_spark.textops.dedup import exact_duplicates, minhash_lsh_pairs
+    from uk_address_matcher_spark.textops.similarity import brute_force_topk
+
+    sf = _sf_from_dir(sf_dir)
+    n = corpus_n if corpus_n is not None else corpus_size(sf)
+    spark = get_spark(
+        app_name="uam_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+    )
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- flagship: linkage at scale -------------------------------------
+    canon_docs, messy_docs, labels = grid_documents(spark, n, dup_factor=1)
+    canon = extract_addresses(canon_docs).cache()
+    messy = extract_addresses(messy_docs).cache()
+    canon.count(), messy.count()  # corpus generation outside the timer
+
+    def link():
+        side = build_side_tables(
+            spark, canon, rel_tok_freq=domain_token_frequencies(spark)
+        )
+        improved = link_addresses(canon, messy, side).cache()
+        n_pred = improved.count()
+        clusters = cluster_predictions(improved, threshold_match_weight=5.0)
+        meta["n_predictions"] = n_pred
+        meta["n_cluster_rows"] = clusters.count()
+        return improved
+
+    timed("addr_link_2pass", link)
+    meta["link_docs_per_sec"] = round(2 * n / timings["addr_link_2pass"], 1)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+
+    timed("dedup_exact", lambda: exact_duplicates(docs, min_group_size=1).count())
+    timed(
+        "dedup_minhash_lsh",
+        lambda: minhash_lsh_pairs(docs, verify_threshold=0.3).count(),
+    )
+    timed(
+        "knn_bruteforce",
+        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+        .collect(),
+    )
+    timed(
+        "doc_quality_fingerprint",
+        lambda: quality_features(docs).join(fingerprint(docs), "doc_id").count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "corpus_docs": 2 * n,
+        "link_docs_per_sec": meta.get("link_docs_per_sec"),
+        "n_predictions": meta.get("n_predictions"),
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

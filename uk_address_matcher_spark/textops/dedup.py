@@ -25,15 +25,17 @@ from uk_address_matcher_spark.textops.analysis import md5_int, normalize_text, t
 MERSENNE = 2147483647
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One row per duplicate GROUP (>=2 docs with identical normalized
-    text): (content_hash, n_docs, keep_doc_id = min)."""
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", min_group_size: int = 2
+) -> DataFrame:
+    """One row per content GROUP of >= min_group_size docs with identical
+    normalized text: (content_hash, n_docs, keep_doc_id = min)."""
     h = F.md5(normalize_text(F.col(text_col)))
     return (
         df.select(F.col("doc_id"), h.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
-        .filter(F.col("n_docs") >= 2)
+        .filter(F.col("n_docs") >= min_group_size)
     )
 
 

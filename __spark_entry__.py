@@ -720,16 +720,22 @@ def _q_minhash_signatures(spark, sf_dir):
 
 
 def _oracle_minhash_signatures() -> str:
+    from uk_address_matcher_spark.textops.dedup import MERSENNE, minhash_params
+
+    params = minhash_params(4)
     cols = ",\n  ".join(
-        "list_min(list_transform(sh, s -> ('0x' || substring(md5('h{i}|' || s), 1, 8))::BIGINT)) AS sig_{i}".format(i=i)
-        for i in range(4)
+        f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}::BIGINT) % {MERSENNE})) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
     )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-s AS (SELECT doc_id, {_SHINGLES_SQL.format(t='toks')} AS sh FROM t)
+s AS (SELECT doc_id, {_SHINGLES_SQL.format(t='toks')} AS sh FROM t),
+h AS (SELECT doc_id,
+        list_transform(sh, s -> ({_MD5INT_SQL.format(x='s')}) % {MERSENNE}) AS hs
+      FROM s)
 SELECT doc_id,
   {cols}
-FROM s ORDER BY doc_id
+FROM h ORDER BY doc_id
 """
 
 

@@ -204,15 +204,29 @@ def parse_out_numbers(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:172-211 — numeric tokens out of the address; if
     # flat_letter is purely numeric the first numeric token is dropped
     # (it duplicates the flat number).
-    addr = F.col("address_concat")
-    all_nums = F.regexp_extract_all(addr, F.lit(NUMERIC_TOKEN_RE), F.lit(0))
-    nums = F.when(
-        F.col("flat_letter").isNotNull() & F.col("flat_letter").rlike(r"^\d+$"),
-        F.slice(all_nums, 2, F.greatest(F.size(all_nums) - 1, F.lit(0))),
-    ).otherwise(all_nums)
-    return df.withColumn(
-        "address_without_numbers", F.regexp_replace(addr, NUMERIC_TOKEN_RE, "")
-    ).withColumn("numeric_tokens", nums)
+    def split_out(addr: Column) -> Column:
+        def pick(all_nums: Column) -> Column:
+            return F.when(
+                F.col("flat_letter").isNotNull()
+                & F.col("flat_letter").rlike(r"^\d+$"),
+                F.slice(all_nums, 2, F.greatest(F.size(all_nums) - 1, F.lit(0))),
+            ).otherwise(all_nums)
+
+        return F.struct(
+            F.regexp_replace(addr, NUMERIC_TOKEN_RE, "").alias("awn"),
+            let(
+                F.regexp_extract_all(addr, F.lit(NUMERIC_TOKEN_RE), F.lit(0)), pick
+            ).alias("nums"),
+        )
+
+    # double let-binding: the (collapsed, regex-heavy) address expression
+    # and the extract_all array are each evaluated once per row
+    df = df.withColumn("__nums", let(F.col("address_concat"), split_out))
+    return (
+        df.withColumn("address_without_numbers", F.col("__nums")["awn"])
+        .withColumn("numeric_tokens", F.col("__nums")["nums"])
+        .drop("__nums")
+    )
 
 
 def clean_address_string_second_pass(df: DataFrame) -> DataFrame:
@@ -228,11 +242,20 @@ def split_numeric_tokens_to_cols(df: DataFrame) -> DataFrame:
     digits = F.regexp_extract_all(
         F.array_join(F.col("numeric_tokens"), " "), F.lit(r"\d+"), F.lit(0)
     )
+    split3 = let(
+        digits,
+        lambda d: F.struct(
+            F.try_element_at(d, F.lit(1)).alias("n1"),
+            F.try_element_at(d, F.lit(2)).alias("n2"),
+            F.try_element_at(d, F.lit(3)).alias("n3"),
+        ),
+    )
     return (
-        df.withColumn("numeric_token_1", F.try_element_at(digits, F.lit(1)))
-        .withColumn("numeric_token_2", F.try_element_at(digits, F.lit(2)))
-        .withColumn("numeric_token_3", F.try_element_at(digits, F.lit(3)))
-        .drop("numeric_tokens")
+        df.withColumn("__d3", split3)
+        .withColumn("numeric_token_1", F.col("__d3")["n1"])
+        .withColumn("numeric_token_2", F.col("__d3")["n2"])
+        .withColumn("numeric_token_3", F.col("__d3")["n3"])
+        .drop("numeric_tokens", "__d3")
     )
 
 

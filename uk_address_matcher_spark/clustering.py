@@ -42,6 +42,13 @@ def connected_components(
     durable + resumable; otherwise localCheckpoint truncates lineage in
     memory. Raises if not converged within max_iterations.
     """
+    spark = edges.sparkSession
+    # the label frames are narrow (two strings); iterating at the session's
+    # full shuffle width just multiplies fixed per-stage latency — pin the
+    # loop's shuffle partitions to a smaller width and restore afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(min(int(prev_parts), 16), 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -53,6 +60,14 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
 
+    try:
+        labels = _iterate(und, labels, max_iterations, checkpointer)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels
+
+
+def _iterate(und, labels, max_iterations, checkpointer):
     for i in range(max_iterations):
         # each node proposes its label to its neighbours; keep the min of
         # (own label, proposals)
@@ -63,6 +78,18 @@ def connected_components(
             proposals.union(labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path doubling): follow each component pointer
+        # one more hop — component ids are themselves node ids, so chains
+        # collapse in O(log diameter) iterations instead of O(diameter).
+        # Street-shaped match graphs produce chains ~ the postcode-sector
+        # size, so this matters.
+        ptr = new_labels.select(
+            F.col("node").alias("component"), F.col("component").alias("root")
+        )
+        new_labels = (
+            new_labels.join(ptr, "component")
+            .select("node", F.col("root").alias("component"))
         )
         if checkpointer is not None:
             new_labels = checkpointer.checkpoint(new_labels, f"cc_iter_{i}")

@@ -310,9 +310,30 @@ def score_pairs(
     computes all BFs and the weight; the threshold filter sits directly
     above it so Catalyst can prune early.
     """
-    left = _suffix(cleaned_l, "_l")
-    right = _suffix(cleaned_r, "_r")
-    df = pairs.join(left, "unique_id_l").join(right, "unique_id_r")
+    # slim payload: blocking-key arrays (unusual_* bands) are not used by
+    # scoring or the second pass — dropping them shrinks the pair-attach
+    # shuffle by ~a third
+    scoring_cols = [
+        "unique_id",
+        "numeric_token_1",
+        "numeric_token_2",
+        "numeric_token_3",
+        "token_rel_freq_arr_hist",
+        "common_end_tokens_hist",
+        "postcode",
+        "original_address_concat",
+        "flat_positional",
+        "flat_letter",
+    ]
+    keep_l = [c for c in cleaned_l.columns if c in scoring_cols]
+    keep_r = [c for c in cleaned_r.columns if c in scoring_cols]
+    left = _suffix(cleaned_l.select(keep_l), "_l")
+    right = _suffix(cleaned_r.select(keep_r), "_r")
+    # shuffle-hash: sort-merge would sort 10^6-10^9 wide (map-carrying)
+    # rows per side; hashing the (small) cleaned side is strictly cheaper
+    df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(
+        right.hint("shuffle_hash"), "unique_id_r"
+    )
 
     if numeric_tf is not None:
         df = attach_numeric_tf(df, numeric_tf, "_l")

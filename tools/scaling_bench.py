@@ -1,0 +1,101 @@
+"""Scaling-efficiency evidence: the SAME linkage job at local[8] vs local[32].
+
+Sandbox proxy for the north rule's N vs 4N executor requirement (no real
+cluster here): identical deterministic input, two parallelism levels,
+report throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+Writes BENCH/BASELINE.md. Corpus size via SCALING_N (canonical docs;
+messy = same count).
+
+Usage: python tools/scaling_bench.py [n_canonical]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_level(cpus: int, n: int) -> dict:
+    from uk_address_matcher_spark.clustering import cluster_predictions
+    from uk_address_matcher_spark.corpus import (
+        domain_token_frequencies,
+        grid_documents,
+    )
+    from uk_address_matcher_spark.extract import extract_addresses
+    from uk_address_matcher_spark.linkage import build_side_tables, link_addresses
+    from uk_address_matcher_spark.session import get_spark
+
+    # IDENTICAL partitioning at both levels (the cluster-size analogy is
+    # more executors over the same task set, not a different plan)
+    spark = get_spark(
+        app_name=f"uam_scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
+    )
+    canon_docs, messy_docs, _ = grid_documents(spark, n, dup_factor=1)
+    canon = extract_addresses(canon_docs).cache()
+    messy = extract_addresses(messy_docs).cache()
+    canon.count(), messy.count()  # corpus generation outside the timer
+
+    t0 = time.time()
+    side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
+    improved = link_addresses(canon, messy, side).cache()
+    n_pred = improved.count()
+    clusters = cluster_predictions(improved, threshold_match_weight=5.0)
+    n_clusters = clusters.count()
+    elapsed = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "seconds": round(elapsed, 1),
+        "docs": 2 * n,
+        "docs_per_sec": round(2 * n / elapsed, 1),
+        "n_predictions": n_pred,
+        "n_cluster_rows": n_clusters,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_N", "150000"))
+    lo = run_level(8, n)
+    hi = run_level(32, n)
+    assert lo["n_predictions"] == hi["n_predictions"], "parallelism changed results!"
+    assert lo["n_cluster_rows"] == hi["n_cluster_rows"], "parallelism changed results!"
+    eff = round((lo["seconds"] / hi["seconds"]) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    md = f"""# BENCH/BASELINE — throughput & scaling efficiency
+
+Job: full two-pass address linkage + transitive clustering over the
+deterministic grid corpus ({n:,} canonical + {n:,} messy interleaved
+documents), identical input at both parallelism levels (result row counts
+asserted equal). Sandbox proxy for N vs 4N executors per the driver
+instruction — same job, local[8] vs local[32].
+
+| level | cores | wall (s) | docs/s | predictions | cluster rows |
+|---|---|---|---|---|---|
+| N | 8 | {lo["seconds"]} | {lo["docs_per_sec"]} | {lo["n_predictions"]} | {lo["n_cluster_rows"]} |
+| 4N | 32 | {hi["seconds"]} | {hi["docs_per_sec"]} | {hi["n_predictions"]} | {hi["n_cluster_rows"]} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {eff}** (target >= 0.8).
+
+Reference single-node baseline (readme.md:5-11): 176,640 messy vs 273,832
+canonical in 11.05 s = 15,008 addresses/s on DuckDB in-memory. Our
+local[32] figure above includes distribution overheads (shuffle,
+scheduling, per-pass checkpoint-ability) the in-memory engine does not
+pay; those amortise with scale, which is what the efficiency number
+evidences.
+
+JSON: `{json.dumps({"low": lo, "high": hi, "efficiency": eff})}`
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"low": lo, "high": hi, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()

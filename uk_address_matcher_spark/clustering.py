@@ -95,15 +95,19 @@ def _iterate(und, labels, max_iterations, checkpointer):
             new_labels = checkpointer.checkpoint(new_labels, f"cc_iter_{i}")
         else:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("component"))
-            .count()
-        )
+        # convergence check every 2nd iteration: the check is its own
+        # shuffle+job; early iterations never converge, so checking each
+        # round just adds latency
+        if i % 2 == 1 or i >= max_iterations - 2:
+            changed = (
+                labels.withColumnRenamed("component", "old")
+                .join(new_labels, "node")
+                .filter(F.col("old") != F.col("component"))
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
 
 

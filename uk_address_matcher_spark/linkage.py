@@ -74,6 +74,13 @@ def link_addresses(
     if checkpointer is not None:
         cl = checkpointer.checkpoint(cl, "cleaned_canonical")
         cr = checkpointer.checkpoint(cr, "cleaned_messy")
+    else:
+        # the cleaned tables feed several DAG branches (blocking keys l/r,
+        # score attach l/r); without a materialisation barrier each branch
+        # re-runs the whole cleaning pipeline — the reference needed DuckDB
+        # temp tables here for the same reason (cleaning_pipelines.py:85-94)
+        cl = cl.cache()
+        cr = cr.cache()
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
@@ -82,6 +89,8 @@ def link_addresses(
     )
     if checkpointer is not None:
         pred = checkpointer.checkpoint(pred, "predictions_pass1")
+    elif second_pass:
+        pred = pred.cache()  # consumed by 3 branches of the second pass
     if not second_pass:
         return pred
     improved = improve_predictions_using_distinguishing_tokens(pred)

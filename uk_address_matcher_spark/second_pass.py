@@ -149,7 +149,7 @@ def improve_predictions_using_distinguishing_tokens(
         F.col("postcode_r"),
         _tokenise(F.col("addr_l_stripped"), F.col("postcode_l")).alias("tokens_l"),
         _tokenise(F.col("addr_r_stripped"), F.col("postcode_r")).alias("tokens_r"),
-    )
+    ).cache()  # feeds both the block-aggregate branch and the pair join
 
     block_aggs = (
         per_pair.groupBy("unique_id_r")

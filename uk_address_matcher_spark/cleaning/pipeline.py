@@ -49,14 +49,28 @@ def clean_addresses(
     rel_tok_freq: DataFrame,
     common_end_tokens: list[str],
     use_broadcast_tf: bool = True,
+    derive_adjacency: bool = False,
+    adjacency_partition_col: str | None = None,
 ) -> DataFrame:
     """(unique_id, address_concat, postcode, ...) -> cleaned feature table.
 
     ``use_broadcast_tf=True`` (default) uses the shuffle-free Arrow UDF TF
     attachment; False uses the join-based formulation (bit-identical
     results, used for plan comparisons and oracle checks).
+    ``derive_adjacency`` enables the optional distinguishing-start-tokens
+    feature (reference QUEUE_PRE_TF_WITH_UNIQUE_AND_COMMON,
+    cleaning_pipelines.py:52-57; default off there too).
     """
-    df = run_queue(df, QUEUE_PRE_TF)
+    if derive_adjacency:
+        cut = QUEUE_PRE_TF.index(S.derive_original_address_concat) + 1
+        df = run_queue(df, QUEUE_PRE_TF[:cut])
+        df = S.separate_distinguishing_start_tokens_wrt_adjacent_records(
+            df, partition_col=adjacency_partition_col
+        )
+        df = S.generalised_token_aliases(df)
+        df = run_queue(df, QUEUE_PRE_TF[cut:])
+    else:
+        df = run_queue(df, QUEUE_PRE_TF)
     if use_broadcast_tf:
         df = S.add_term_frequencies_broadcast(df, rel_tok_freq)
     else:

@@ -480,6 +480,107 @@ def _histogram_map(arr: Column) -> Column:
     return let(arr, hist)
 
 
+# ---------------------------------------------------------------------------
+# Optional adjacency feature (cleaning_steps.py:585-721; default OFF in the
+# reference — cleaning_pipelines.py:118)
+# ---------------------------------------------------------------------------
+
+_ADJ_REMOVE = ["FLAT", "APARTMENT", "UNIT"]
+
+
+def separate_distinguishing_start_tokens_wrt_adjacent_records(
+    df: DataFrame, partition_col: str | None = None
+) -> DataFrame:
+    """Split each address into tokens unique to it vs tokens shared with
+    its neighbours when sorted by reverse(address_concat).
+
+    Faithful to the reference including its off-by-one (the correlated
+    max(i) understates the true common-suffix length by one when the whole
+    shorter list matches is impossible; cleaning_steps.py:624-636) and the
+    NULL-when-no-overlap behaviour.
+
+    ``partition_col`` bounds the sort window (e.g. postcode sector) — the
+    reference uses a single global window (cleaning_steps.py:609), which
+    cannot scale; per-sector ordering is the documented relaxation
+    (SURVEY §2.5). Default None keeps exact reference semantics.
+    """
+    from pyspark.sql import Window
+
+    remove_lit = F.array(*[F.lit(t) for t in _ADJ_REMOVE])
+    toks = F.filter(
+        F.split(F.col("address_concat"), r"\s+"),
+        lambda x: ~F.array_contains(remove_lit, x),
+    )
+    if partition_col is None:
+        w = Window.orderBy(F.reverse(F.col("address_concat")))
+    else:
+        w = Window.partitionBy(partition_col).orderBy(
+            F.reverse(F.col("address_concat"))
+        )
+    df = (
+        df.withColumn("__toks_adj", toks)
+        .withColumn("__prev", F.lag("__toks_adj").over(w))
+        .withColumn("__next", F.lead("__toks_adj").over(w))
+    )
+
+    def suffix_len(t: Column, p: Column) -> Column:
+        # max i in [0, min-1] with equal length-(i+1) reversed prefixes;
+        # NULL when even the last tokens differ (reference subquery result)
+        rev_t, rev_p = F.reverse(t), F.reverse(p)
+        n = F.least(F.size(t), F.size(p))
+        matches = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.slice(rev_t, 1, i + 1) == F.slice(rev_p, 1, i + 1),
+        )
+        return F.when(p.isNotNull() & (n >= 1), F.array_max(matches)).otherwise(
+            F.when(p.isNull(), F.lit(0))
+        )
+
+    t = F.col("__toks_adj")
+    df = df.withColumn(
+        "__max_suffix",
+        F.greatest(
+            suffix_len(t, F.col("__prev")), suffix_len(t, F.col("__next"))
+        ),
+    )
+    cnt = F.size(t)
+    unique_toks = F.filter(t, lambda x, i: i < cnt - F.col("__max_suffix"))
+    common_toks = F.filter(t, lambda x, i: i >= cnt - F.col("__max_suffix"))
+    return (
+        df.withColumn(
+            "distinguishing_adj_start_tokens",
+            F.coalesce(unique_toks, F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "common_adj_start_tokens",
+            F.coalesce(common_toks, F.array().cast("array<string>")),
+        )
+        .drop("__toks_adj", "__prev", "__next", "__max_suffix")
+    )
+
+
+def generalised_token_aliases(df: DataFrame) -> DataFrame:
+    # cleaning_steps.py:663-721 — guide matches away from implausible
+    # floor-level pairings
+    def alias_of(tok: Column) -> Column:
+        return (
+            F.when(
+                tok.isin("FIRST", "SECOND", "THIRD", "TOP"),
+                F.array(F.lit("UPPERFLOOR"), F.lit("LEVEL")),
+            )
+            .when(tok.isin("GARDEN", "GROUND"), F.array(F.lit("GROUNDFLOOR"), F.lit("LEVEL")))
+            .when(tok == "BASEMENT", F.array(F.lit("LEVEL")))
+            .otherwise(F.array(tok))
+        )
+
+    return df.withColumn(
+        "distinguishing_adj_token_aliases",
+        F.flatten(
+            F.transform(F.col("distinguishing_adj_start_tokens"), alias_of)
+        ),
+    )
+
+
 FINAL_COLUMNS = [
     "unique_id",
     "numeric_token_1",

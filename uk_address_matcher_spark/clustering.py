@@ -43,22 +43,24 @@ def connected_components(
     memory. Raises if not converged within max_iterations.
     """
     spark = edges.sparkSession
-    # the label frames are narrow (two strings); iterating at the session's
-    # full shuffle width just multiplies fixed per-stage latency — pin the
-    # loop's shuffle partitions to a smaller width and restore afterwards
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(min(int(prev_parts), 16), 4)
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     und = und.dropDuplicates().cache()
+    n_edges = und.count()
+    # label frames are narrow (two strings): size the loop's shuffle width
+    # to the data (~30k edge rows per task) instead of the session width —
+    # tiny graphs would otherwise pay per-stage latency x width, while big
+    # graphs must keep every core busy through the iterations
+    loop_parts = max(min(int(prev_parts), n_edges // 30000 + 1), 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
-    labels = labels.localCheckpoint()
 
     try:
         labels = _iterate(und, labels, max_iterations, checkpointer)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -27,8 +26,6 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def cmd_link(args) -> None:
-    from pyspark.sql import functions as F
-
     from uk_address_matcher_spark.checkpoint import CheckpointManager
     from uk_address_matcher_spark.clustering import cluster_predictions
     from uk_address_matcher_spark.extract import extract_addresses

@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from uk_address_matcher_spark.blocking import block
 from uk_address_matcher_spark.cleaning import (

@@ -398,8 +398,16 @@ _TOWNS = [
 ]
 _FLOORS = ["BASEMENT", "GROUND FLOOR", "FIRST FLOOR", "SECOND FLOOR", "TOP FLOOR"]
 
-N_STREETS = 4000  # distinct (name, kind, town) street identities
-STREET_SKEW = 2.5  # street_idx = floor(u^SKEW * N_STREETS): Zipf-ish block sizes
+BASE_STREETS = 4000  # floor on distinct street identities
+HOUSES_PER_STREET = 15  # average — the number of STREETS scales with the
+# corpus so postcode-block sizes stay fixed (real UK: ~1.8M postcodes for
+# ~30M addresses; block size must NOT grow with dataset size)
+MAX_STREETS = 380_000  # injectivity bound of the street->postcode encoding
+STREET_SKEW = 2.5  # street_idx = floor(u^SKEW * n_streets): Zipf-ish block sizes
+
+
+def _n_streets(n: int) -> int:
+    return min(max(BASE_STREETS, n // HOUSES_PER_STREET), MAX_STREETS)
 
 
 def _pick(col_arr: list[str], idx: Column) -> Column:
@@ -415,14 +423,17 @@ def grid_canonical_flat(spark: SparkSession, n: int) -> DataFrame:
     from pyspark.sql import Window
 
     df = spark.range(n).withColumnRenamed("id", "seq")
+    n_streets = _n_streets(n)
     u = (F.abs(F.xxhash64(F.lit("street"), F.col("seq"))) % 100000) / 100000.0
-    street_idx = F.floor(F.pow(u, F.lit(STREET_SKEW)) * N_STREETS).cast("long")
+    street_idx = F.floor(F.pow(u, F.lit(STREET_SKEW)) * n_streets).cast("long")
     df = df.withColumn("street_idx", street_idx)
     w = Window.partitionBy("street_idx").orderBy("seq")
     df = df.withColumn("house_no", F.row_number().over(w))
 
-    # mixed-radix decomposition keeps (name, kind, town) injective over
-    # street_idx < 40*8*16 = 5120 >= N_STREETS
+    # mixed-radix decomposition: (name, kind, town) is injective over
+    # street_idx < 40*8*16 = 5120; beyond that street TEXT repeats in a
+    # different (injective) postcode sector — as real street names do
+    # across UK towns; (address_concat, postcode) stays globally unique
     name = _pick(_STREET_NAMES, F.col("street_idx") % len(_STREET_NAMES))
     kind = _pick(
         _STREET_KINDS,
@@ -448,21 +459,25 @@ def grid_canonical_flat(spark: SparkSession, n: int) -> DataFrame:
         street,
         town,
     )
-    # postcode sector is injective in street_idx (ZZ1..ZZ80 outward x 8x8
-    # inward letter pairs covers 5120 >= N_STREETS): one street per sector,
-    # as in real UK postcodes; houses split into inward digit groups of 24
+    # postcode sector is injective in street_idx up to 26*26*9*8*8 = 389k
+    # streets: one street per sector, as in real UK postcodes; houses split
+    # into inward digit groups of 24. Outward 'LL9' matches the UK format
+    # ([A-Z]{1,2}\d[A-Z\d]?), inward is \d[A-Z]{2}.
+    i = F.col("street_idx")
+    letters = lambda s: F.array(*[F.lit(c) for c in s])  # noqa: E731
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     outward = F.concat(
-        F.lit("ZZ"), ((F.col("street_idx") % 80) + 1).cast("string")
+        F.element_at(letters(alpha), (i % 26 + 1).cast("int")),
+        F.element_at(letters(alpha), ((i / 26).cast("long") % 26 + 1).cast("int")),
+        (((i / 676).cast("long") % 9) + 1).cast("string"),
     )
     inward = F.concat(
         (((F.col("house_no") / 24).cast("long") % 9) + 1).cast("string"),
         F.element_at(
-            F.array(*[F.lit(c) for c in "ABCDEFGH"]),
-            (((F.col("street_idx") / 80).cast("long") % 8) + 1).cast("int"),
+            letters("ABCDEFGH"), ((i / 6084).cast("long") % 8 + 1).cast("int")
         ),
         F.element_at(
-            F.array(*[F.lit(c) for c in "RSTUVWXY"]),
-            (((F.col("street_idx") / 640).cast("long") % 8) + 1).cast("int"),
+            letters("RSTUVWXY"), ((i / 48672).cast("long") % 8 + 1).cast("int")
         ),
     )
     postcode = F.concat_ws(" ", outward, inward)
@@ -509,10 +524,19 @@ def messy_from_canonical(canonical_flat: DataFrame, dup_factor: int = 1) -> tupl
     pc = F.col("postcode")
     noisy_pc = (
         F.when(v == 2, F.regexp_replace(pc, " ", ""))
-        # outward-district typo: recoverable via the n1+u1+inward rule
-        # (an inward typo on a single-rare-token street is unblockable
-        # under the reference's 18 rules — by design, not noise)
-        .when(v == 9, F.regexp_replace(pc, r"^.", "Q"))
+        # outward-district typo (digit -> 0, which no real postcode uses, so
+        # the corrupted code never collides with another street's postcode):
+        # recoverable via the n1+u1+inward rule (an inward typo on a
+        # single-rare-token street is unblockable under the reference's 18
+        # rules — by design, not noise)
+        .when(
+            v == 9,
+            F.concat(
+                F.regexp_replace(F.split_part(pc, F.lit(" "), F.lit(1)), r"\d$", "0"),
+                F.lit(" "),
+                F.split_part(pc, F.lit(" "), F.lit(2)),
+            ),
+        )
         .otherwise(pc)
     )
 

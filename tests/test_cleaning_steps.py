@@ -165,8 +165,10 @@ def test_clean_addresses_schema_and_values(spark):
     assert "LONDON" not in hist
     assert set(hist.keys()) == {"DOWNING", "STREET", "WESTMINSTER"}
     assert hist["DOWNING"]["cnt"] == 1
-    # corpus of 19 non-numeric tokens (u4 keeps FLAT + A): DOWNING appears twice
-    assert abs(hist["DOWNING"]["rel_freq"] - 2 / 19) < 1e-12
+    # reference-style TF pool: 19 non-numeric tokens (u4 keeps FLAT + A)
+    # plus the 5 numeric tokens 10/11/12/12/9 (get_token_frequeny_table
+    # list_concats numeric_token_1..3 into the pool): DOWNING appears twice
+    assert abs(hist["DOWNING"]["rel_freq"] - 2 / 24) < 1e-12
     assert r1["common_end_tokens_hist"] is not None
     assert "LONDON" in r1["common_end_tokens_hist"]
     # u4 has flat letter A

@@ -72,3 +72,35 @@ def test_connected_components_with_checkpointer(spark, tmp_path):
     cc = {r["node"]: r["component"] for r in connected_components(edges, checkpointer=ck).collect()}
     assert cc["c"] == "a" and cc["q"] == "p"
     assert any(k.startswith("cc_iter_") for k in ck.manifest["passes"])
+
+
+def test_bipartite_components_matches_general_cc(spark):
+    # random-ish bipartite graph incl. a chain c0-m0-c1-m1-...-c5 (tests
+    # multi-round convergence) and isolated stars
+    from uk_address_matcher_spark.clustering import bipartite_components
+
+    chain = [(f"c{i}", f"m{i}") for i in range(6)] + [
+        (f"c{i + 1}", f"m{i}") for i in range(5)
+    ]
+    stars = [("c100", f"m10{j}") for j in range(4)] + [("c200", "m300")]
+    edges = spark.createDataFrame(chain + stars, "src string, dst string")
+    bi = {r["node"]: r["component"] for r in bipartite_components(edges).collect()}
+    from uk_address_matcher_spark.clustering import connected_components
+
+    gen = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert bi == gen
+    assert bi["c5"] == "c0" and bi["m4"] == "c0"
+    assert bi["m103"] == "c100"
+
+
+def test_bipartite_components_with_checkpointer(spark, tmp_path):
+    from uk_address_matcher_spark.checkpoint import CheckpointManager
+    from uk_address_matcher_spark.clustering import bipartite_components
+
+    ck = CheckpointManager(spark, str(tmp_path / "bcc"))
+    edges = spark.createDataFrame(
+        [("c1", "m1"), ("c2", "m1"), ("c9", "m9")], "src string, dst string"
+    )
+    cc = {r["node"]: r["component"] for r in bipartite_components(edges, checkpointer=ck).collect()}
+    assert cc == {"c1": "c1", "c2": "c1", "m1": "c1", "c9": "c9", "m9": "c9"}
+    assert any(k.startswith("bcc_round_") for k in ck.manifest["passes"])

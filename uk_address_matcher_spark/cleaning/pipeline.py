@@ -89,14 +89,37 @@ def clean_addresses(
 def get_address_token_frequencies(df: DataFrame) -> DataFrame:
     """(unique_id, address_concat, postcode) -> (token, rel_freq).
 
-    Tokens of the number-stripped address; rel_freq = count/total.
+    Mirrors the reference's TF-table derivation
+    (get_address_token_frequencies_from_address_table,
+    cleaning_pipelines.py:220-239 + get_token_frequeny_table,
+    cleaning_steps.py:289-323): the SHORT cleaning queue (no postcode
+    canonicalisation / duplicate-end-token removal — those are linkage-prep
+    steps, not TF-prep steps), and the token pool list_concats the non-null
+    numeric_token_1..3 with the number-stripped tokens, so both the counts
+    and the rel_freq denominator include numeric tokens.
+
     One explode + one groupBy; the global total comes from a single-row
     broadcast cross-join (no global window, which would single-partition).
     """
-    prep = run_queue(df, QUEUE_PRE_TF)
-    toks = prep.select(
-        F.explode("address_without_numbers_tokenised").alias("token")
+    queue = [
+        S.trim_whitespace_address_and_postcode,
+        S.upper_case_address_and_postcode,
+        S.clean_address_string_first_pass,
+        S.parse_out_flat_position_and_letter,  # parse_out_numbers needs flat_letter
+        S.parse_out_numbers,
+        S.clean_address_string_second_pass,
+        S.split_numeric_tokens_to_cols,
+        S.tokenise_address_without_numbers,
+    ]
+    prep = run_queue(df, queue)
+    all_tokens = F.concat(
+        F.filter(
+            F.array("numeric_token_1", "numeric_token_2", "numeric_token_3"),
+            lambda x: x.isNotNull(),
+        ),
+        F.col("address_without_numbers_tokenised"),
     )
+    toks = prep.select(F.explode(all_tokens).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     return counts.crossJoin(F.broadcast(total)).select(

@@ -42,31 +42,22 @@ def connected_components(
     durable + resumable; otherwise localCheckpoint truncates lineage in
     memory. Raises if not converged within max_iterations.
     """
-    spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # AQE partition coalescing (on in session.py) right-sizes the loop's
+    # tiny label shuffles at runtime — no session-conf mutation, which
+    # would re-plan concurrent jobs on the shared session at the wrong
+    # width.
     und = und.dropDuplicates().cache()
-    n_edges = und.count()
-    # label frames are narrow (two strings): size the loop's shuffle width
-    # to the data (~30k edge rows per task) instead of the session width —
-    # tiny graphs would otherwise pay per-stage latency x width, while big
-    # graphs must keep every core busy through the iterations
-    loop_parts = max(min(int(prev_parts), n_edges // 30000 + 1), 4)
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    und.count()
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-
-    try:
-        labels = _iterate(und, labels, max_iterations, checkpointer)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return labels
+    return _iterate(und, labels, max_iterations, checkpointer)
 
 
 def _iterate(und, labels, max_iterations, checkpointer):
@@ -113,6 +104,83 @@ def _iterate(und, labels, max_iterations, checkpointer):
     raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
 
 
+def bipartite_components(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    checkpointer=None,
+) -> DataFrame:
+    """(node, component) for a BIPARTITE edge set (src = canonical side,
+    dst = messy side, the shape every match graph has: every scored pair
+    joins one canonical to one messy record).
+
+    Exploits bipartiteness to cut the barrier count vs general
+    connected_components: labels live on the canonical side only
+    (|canonical| rows instead of |nodes|), one round is a 2-hop min
+    propagation (canonical -> messy -> canonical, 4 narrow shuffles =
+    2 shuffles per hop), and two fixed pointer-doubling steps collapse
+    label chains by 4x per round without per-step convergence jobs.
+    Match graphs are near-star, so 1-2 rounds converge; component ids are
+    the minimum member id (identical contract to connected_components),
+    deterministic at any parallelism.
+    """
+    e = edges.select(F.col("src").alias("c"), F.col("dst").alias("m"))
+    e = e.dropDuplicates().cache()
+    e.count()
+
+    lab = e.select("c").distinct().withColumn("lab", F.col("c")).localCheckpoint()
+
+    def two_hop(lab_df):
+        # min label over the 2-hop neighbourhood; c is in N(m) for every
+        # m in N(c), so the min already covers the node's own label
+        m_min = (
+            e.join(lab_df, "c")
+            .groupBy("m")
+            .agg(F.min("lab").alias("mlab"))
+        )
+        return (
+            e.join(m_min, "m").groupBy("c").agg(F.min("mlab").alias("lab")),
+            m_min,
+        )
+
+    m_min = None
+    for i in range(max_rounds):
+        new_lab, m_min = two_hop(lab)
+        # two pointer-doubling steps (lab values are canonical ids, so a
+        # label's label exists): chains shrink 4x per round; no
+        # convergence job per step — the outer check catches the rest
+        for _ in range(2):
+            ptr = new_lab.select(F.col("c").alias("lab"), F.col("lab").alias("root"))
+            new_lab = new_lab.join(ptr, "lab").select("c", F.col("root").alias("lab"))
+        if checkpointer is not None:
+            new_lab = checkpointer.checkpoint(new_lab, f"bcc_round_{i}")
+        else:
+            new_lab = new_lab.localCheckpoint()
+        changed = (
+            lab.withColumnRenamed("lab", "old")
+            .join(new_lab, "c")
+            .filter(F.col("old") != F.col("lab"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"bipartite_components: no convergence in {max_rounds} rounds")
+
+    # messy-side labels from the final round's m_min re-resolved through
+    # the final canonical labels (one join on the already-final labels)
+    m_lab = (
+        e.join(lab, "c").groupBy("m").agg(F.min("lab").alias("lab"))
+    )
+    members = lab.select(F.col("c").alias("node"), "lab").union(
+        m_lab.select(F.col("m").alias("node"), "lab")
+    )
+    # contract parity with connected_components: component id = min member
+    # id across BOTH sides (two extra narrow shuffles on tiny frames)
+    comp_min = members.groupBy("lab").agg(F.min("node").alias("component"))
+    return members.join(comp_min, "lab").select("node", "component")
+
+
 def cluster_predictions(
     df_predict: DataFrame,
     threshold_match_weight: float = 5.0,
@@ -121,10 +189,13 @@ def cluster_predictions(
     """(unique_id, cluster_id) for every id in an above-threshold pair.
 
     cluster_id is the lexicographically smallest member id — deterministic
-    at any parallelism.
+    at any parallelism. Uses the bipartite specialisation (scored pairs
+    always join the canonical side to the messy side).
     """
-    edges = edges_from_predictions(df_predict, threshold_match_weight)
-    cc = connected_components(edges, checkpointer=checkpointer)
+    edges = df_predict.filter(
+        F.col("match_weight") >= threshold_match_weight
+    ).select(F.col("unique_id_l").alias("src"), F.col("unique_id_r").alias("dst"))
+    cc = bipartite_components(edges, checkpointer=checkpointer)
     return cc.select(
         F.col("node").alias("unique_id"), F.col("component").alias("cluster_id")
     )

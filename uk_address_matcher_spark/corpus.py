@@ -333,7 +333,13 @@ def to_documents(flat: DataFrame) -> DataFrame:
             F.slice(toks, cut + 1, F.greatest(F.size(toks) - cut, F.lit(0))), " "
         ),
     )
-    h = F.abs(F.xxhash64(F.col("unique_id"), F.lit("media")))
+    # md5-derived (not xxhash64) so the media-span presence rule is
+    # reproducible in ANSI SQL: DuckDB's ('0x'||substring(md5(x),1,8))::BIGINT
+    # computes the identical value, letting the driver oracle replay the
+    # media derivation end-to-end.
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("unique_id"), F.lit("media"))), 1, 8), 16, 10
+    ).cast("bigint")
     doc_id = F.col("unique_id")
 
     span_candidates = F.array(

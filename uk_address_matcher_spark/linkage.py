@@ -67,7 +67,20 @@ def link_addresses(
     checkpointer=None,
 ) -> DataFrame:
     """Full two-pass linkage. ``checkpointer`` (optional,
-    checkpoint.CheckpointManager) persists each pass for lineage/resume."""
+    checkpoint.CheckpointManager) persists each pass for lineage/resume.
+
+    source_dataset contract (reference splink_model.py:38-46 +
+    tests/test_source_dataset.py:74-87): inputs must NOT carry a
+    ``source_dataset`` column (raises ValueError), and every output pair
+    carries ``source_dataset_l = 'c_'`` / ``source_dataset_r = 'm_'``
+    regardless of where the rows came from."""
+    for name, frame in (("canonical", canonical_flat), ("messy", messy_flat)):
+        if "source_dataset" in frame.columns:
+            raise ValueError(
+                f"{name} input contains a 'source_dataset' column. Remove it "
+                "before calling link_addresses: the linker overwrites it "
+                "with its own 'c_'/'m_' tags."
+            )
     cl = clean_addresses(canonical_flat, side.rel_tok_freq, side.common_end_tokens)
     cr = clean_addresses(messy_flat, side.rel_tok_freq, side.common_end_tokens)
     if checkpointer is not None:
@@ -91,8 +104,16 @@ def link_addresses(
     elif second_pass:
         pred = pred.cache()  # consumed by 3 branches of the second pass
     if not second_pass:
-        return pred
+        return _tag_source_datasets(pred)
     improved = improve_predictions_using_distinguishing_tokens(pred)
     if checkpointer is not None:
         improved = checkpointer.checkpoint(improved, "predictions_pass2")
-    return improved
+    return _tag_source_datasets(improved)
+
+
+def _tag_source_datasets(pred: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return pred.withColumn("source_dataset_l", F.lit("c_")).withColumn(
+        "source_dataset_r", F.lit("m_")
+    )

@@ -122,19 +122,19 @@ def improve_predictions_using_distinguishing_tokens(
         F.col("__rn") <= top_n_matches
     ).drop("__rn")
 
-    # Step 3: strip up to 2 common end tokens (from the messy side's set)
-    # from both address strings
+    # Step 3: strip up to 2 common end tokens (from the messy side's set).
+    # EFFECTIVE reference behaviour: only tokens_r sees the stripped text —
+    # the reference's step 4 (tokenise_r) reads FROM remove_common_end_tokens,
+    # but steps 5 and 6 read FROM top_n_matches, so tokens_l /
+    # tokens_in_block_l and the output original_address_concat_* are all
+    # built from the UN-stripped l side
+    # (identify_distinguishing_tokens.py:86-270).
     common_end = F.coalesce(
         F.map_keys(F.col("common_end_tokens_hist_r")), F.array().cast("array<string>")
     )
-    top = (
-        top.withColumn("__cet_r", common_end)
-        .withColumn(
-            "addr_l_stripped", _strip_common_end(F.col("original_address_concat_l"), F.col("__cet_r"))
-        )
-        .withColumn(
-            "addr_r_stripped", _strip_common_end(F.col("original_address_concat_r"), F.col("__cet_r"))
-        )
+    top = top.withColumn("__cet_r", common_end).withColumn(
+        "addr_r_stripped",
+        _strip_common_end(F.col("original_address_concat_r"), F.col("__cet_r")),
     )
 
     # Step 4-5: per-block aggregates keyed by unique_id_r
@@ -147,7 +147,7 @@ def improve_predictions_using_distinguishing_tokens(
         F.col("original_address_concat_r"),
         F.col("postcode_l"),
         F.col("postcode_r"),
-        _tokenise(F.col("addr_l_stripped"), F.col("postcode_l")).alias("tokens_l"),
+        _tokenise(F.col("original_address_concat_l"), F.col("postcode_l")).alias("tokens_l"),
         _tokenise(F.col("addr_r_stripped"), F.col("postcode_r")).alias("tokens_r"),
     ).cache()  # feeds both the block-aggregate branch and the pair join
 

@@ -104,14 +104,15 @@ def ngram_jaccard_pairs(
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) affine-permutation constants, md5-derived.
-    a odd and < 2^31, b < 2^31 — products stay under 2^62 (safe BIGINT
-    in both Spark and DuckDB)."""
+    a odd and < 2^31 (|1 keeps it within the h32 range), b < 2^31 —
+    a*h < 2^31 * 2^31 = 2^62, safely inside BIGINT in both Spark and
+    DuckDB even under ANSI overflow checking."""
     import hashlib
 
     def h32(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MERSENNE
 
-    return [(h32(f"a{i}") * 2 + 1, h32(f"b{i}")) for i in range(num_hashes)]
+    return [(h32(f"a{i}") | 1, h32(f"b{i}")) for i in range(num_hashes)]
 
 
 def minhash_signatures(

@@ -114,8 +114,13 @@ def extract_features(
             raise NotImplementedError("real feature extraction needs a model")
 
         def feat(b: bytes) -> list[float]:
-            d = hashlib.md5(b).digest()
-            return [d[i] / 255.0 for i in range(dim)]
+            # hash the HEX of the content (not raw bytes): DuckDB's md5()
+            # is VARCHAR-only, so hashing the hex string keeps the fake
+            # feature oracle-replayable. /256.0 (not /255) keeps every
+            # value dyadic — exactly representable in float32 AND double,
+            # so round(x, 6) agrees bit-for-bit across engines.
+            d = hashlib.md5(b.hex().encode()).digest()
+            return [d[i] / 256.0 for i in range(dim)]
 
         return content.map(feat)
 

@@ -74,24 +74,78 @@ def brute_force_topk(
     )
 
 
-def _planes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = int(hashlib.md5(f"plane{p}|{d}".encode()).hexdigest()[:8], 16)
-            row.append((h % 2001 - 1000) / 1000.0)
-        planes.append(row)
-    return planes
+def _planes(dim: int, n_bands: int, n_planes: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state):
+    one independent family of ``n_planes`` planes per band. md5-derived so
+    the DuckDB oracle can inline the identical literals."""
+    bands = []
+    for b in range(n_bands):
+        band = []
+        for p in range(n_planes):
+            row = []
+            for d in range(dim):
+                h = int(
+                    hashlib.md5(f"band{b}|plane{p}|{d}".encode()).hexdigest()[:8], 16
+                )
+                row.append((h % 2001 - 1000) / 1000.0)
+            band.append(row)
+        bands.append(band)
+    return bands
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def _band_signature(vec: Column, band_planes: list[list[float]]) -> Column:
     parts = []
-    for row in _planes(dim, n_planes):
+    for row in band_planes:
         plane = F.array(*[F.lit(x) for x in row])
         parts.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*parts)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id, vec, band, sig) — one row per (vector, band).
+
+    b independent bands of r hyperplanes each: a pair collides if it
+    agrees on ALL r signs in ANY band (OR-of-ANDs, the standard banded
+    scheme — same shape as dedup.minhash_lsh_pairs). At scale the shuffle
+    key is (band, sig): 2^r buckets *per band*, and recall comes from band
+    count, not bucket width, so buckets stay small as data grows.
+
+    ``max_bucket_size`` drops over-full buckets (the quadratic-blowup
+    guard, like the stop-shingle cut in ngram_jaccard_pairs) — dropped
+    bucket keys are knowable via the same groupBy, never silently capped
+    at read time.
+    """
+    all_planes = _planes(dim, n_bands, n_planes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _band_signature(F.col(vec_col), all_planes[b]).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(band_cols).alias("bk"),
+    ).select("id", "v", F.col("bk")["band"].alias("band"), F.col("bk")["sig"].alias("sig"))
+    if max_bucket_size is not None:
+        oversized = (
+            out.groupBy("band", "sig")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket_size)
+        )
+        out = out.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+    return out
 
 
 def lsh_topk(
@@ -99,35 +153,32 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: compare only within random-hyperplane buckets.
-
-    One shuffle on the signature instead of a cross product. Vectors in
-    sparse buckets may return fewer than k neighbors (approximation
-    trade-off, by design).
-    """
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        sig.alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sig.alias("bucket"),
-    )
-    scored = (
-        q.join(e, "bucket")
+    """Approximate top-k: compare a query only to vectors sharing a full
+    band signature in at least one band; candidates deduped across bands
+    before the (expensive) cosine. Vectors colliding in no band are never
+    compared (approximation trade-off, by design)."""
+    e = lsh_buckets(embeddings, dim, n_bands, n_planes, id_col, vec_col, max_bucket_size)
+    q = lsh_buckets(queries, dim, n_bands, n_planes, id_col, vec_col)
+    cand = (
+        q.select(F.col("id").alias("query_id"), F.col("v").alias("q_vec"), "band", "sig")
+        .join(e.select(F.col("id").alias("neighbor_id"), "band", "sig"), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "q_vec", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.join(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -141,23 +192,29 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.98,
     dim: int = 64,
-    n_planes: int = 6,
+    n_bands: int = 4,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine, LSH-bucketed."""
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
-    pairs = (
+    """Near-duplicate pairs by embedding cosine: banded hyperplane LSH
+    candidates (deduped across bands), cosine verify, threshold filter."""
+    e = lsh_buckets(embeddings, dim, n_bands, n_planes, id_col, vec_col, max_bucket_size)
+    cand = (
         e.alias("a")
-        .join(e.alias("b"), "bucket")
+        .join(e.alias("b"), ["band", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("v_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.col("b.v").alias("v_b"),
         )
-        .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -573,6 +573,49 @@ def _q_addr_clusters(spark, sf_dir):
 # --- documents-table text operators ----------------------------------------
 
 
+def _q_jaro_winkler(spark, sf_dir):
+    """Jaro-Winkler fuzzy comparator (Arrow-batched pandas UDF,
+    functions.py) over within-block canonical x messy address pairs;
+    DuckDB's native jaro_winkler_similarity is the oracle (same
+    prefix-4 / p=0.1 definition, verified digit-for-digit)."""
+    from uk_address_matcher_spark.functions import jaro_winkler_col
+
+    flat = _edge_flat(spark)
+    c = flat.filter(F.col("side") == "c").select(
+        F.col("unique_id").alias("unique_id_l"),
+        F.upper("address_concat").alias("addr_l"),
+        "test_block",
+    )
+    m = flat.filter(F.col("side") == "m").select(
+        F.col("unique_id").alias("unique_id_r"),
+        F.upper("address_concat").alias("addr_r"),
+        "test_block",
+    )
+    return (
+        c.join(m, "test_block")
+        .select(
+            "unique_id_l",
+            "unique_id_r",
+            F.round(jaro_winkler_col(F.col("addr_l"), F.col("addr_r")), 6).alias("jw"),
+        )
+        .orderBy("unique_id_l", "unique_id_r")
+    )
+
+
+def _oracle_jaro_winkler() -> str:
+    return f"""
+WITH {_edge_values_sql()},
+c AS (SELECT unique_id AS unique_id_l, upper(address_concat) AS addr_l, test_block
+      FROM edge WHERE side = 'c'),
+m AS (SELECT unique_id AS unique_id_r, upper(address_concat) AS addr_r, test_block
+      FROM edge WHERE side = 'm')
+SELECT unique_id_l, unique_id_r,
+       round(jaro_winkler_similarity(addr_l, addr_r), 6) AS jw
+FROM c JOIN m USING (test_block)
+ORDER BY unique_id_l, unique_id_r
+"""
+
+
 def _q_doc_normalize(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return d.select(
@@ -862,6 +905,49 @@ SELECT doc_id, {total} AS simhash FROM h ORDER BY doc_id
 """
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    """Hamming-<=k SimHash pairing: pigeonhole band join + popcount verify."""
+    from uk_address_matcher_spark.textops.dedup import simhash_near_duplicates
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, bits=16, max_hamming=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _oracle_simhash_neardup() -> str:
+    # same fingerprint construction as _oracle_simhash (16 bits), then the
+    # pigeonhole bands (5,5,6 bits), bucket self-join, popcount verify
+    bits = []
+    for i in range(16):
+        bits.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) >= len(hs)"
+            f" THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    total = " + ".join(bits)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, fp, {j} AS band, (fp >> {lo}) & {mask} AS val FROM fps"
+        for j, (lo, mask) in enumerate([(0, 31), (5, 31), (10, 63)])
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id,
+       list_transform(toks, tk -> {_MD5INT_SQL.format(x='tk')}) AS hs
+      FROM t),
+fps AS (SELECT doc_id, {total} AS fp FROM h),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a, b.doc_id AS doc_b, b.fp AS fp_b
+  FROM buckets a JOIN buckets b USING (band, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     from uk_address_matcher_spark.textops.dedup import minhash_lsh_pairs
 
@@ -1139,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_addr_dupe_end": _q_addr_dupe_end,
         "q_addr_best_match": _q_addr_best_match,
         "q_addr_clusters": _q_addr_clusters,
+        "q_jaro_winkler": _q_jaro_winkler,
         "q_doc_normalize": _q_doc_normalize,
         "q_doc_token_stats": _q_doc_token_stats,
         "q_doc_quality": _q_doc_quality,
@@ -1152,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": _q_minhash_signatures,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash": _q_simhash,
+        "q_simhash_neardup": _q_simhash_neardup,
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
         "q_embedding_neardup": _q_embedding_neardup,
@@ -1178,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         # stability verified across parallelism levels)
         "q_addr_best_match": _oracle_best_match(),
         "q_addr_clusters": _oracle_clusters(),
+        "q_jaro_winkler": _oracle_jaro_winkler(),
         "q_doc_normalize": _ORACLE_DOC_NORMALIZE,
         "q_doc_token_stats": _ORACLE_DOC_TOKEN_STATS,
         "q_doc_quality": _ORACLE_DOC_QUALITY,
@@ -1191,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_signatures": _oracle_minhash_signatures(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash": _oracle_simhash(),
+        "q_simhash_neardup": _oracle_simhash_neardup(),
         "q_knn_bruteforce": _ORACLE_KNN,
         "q_knn_lsh": _oracle_knn_lsh(),
         "q_embedding_neardup": _oracle_embedding_neardup(),

@@ -79,12 +79,20 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
         side = build_side_tables(
             spark, canon, rel_tok_freq=domain_token_frequencies(spark)
         )
-        improved = link_addresses(canon, messy, side).cache()
-        n_pred = improved.count()
-        clusters = cluster_predictions(improved, threshold_match_weight=5.0)
+        improved = link_addresses(canon, messy, side)
+        # persist the NARROW prediction projection (ids + weight), not the
+        # wide frame with its token/bigram evidence maps: downstream
+        # consumers (count, clustering) only touch these columns, and a
+        # wide cache costs a full map-column deserialisation per scan —
+        # in production this is the pruned-parquet checkpoint read
+        slim = improved.select(
+            "unique_id_l", "unique_id_r", "match_weight"
+        ).cache()
+        n_pred = slim.count()
+        clusters = cluster_predictions(slim, threshold_match_weight=5.0)
         meta["n_predictions"] = n_pred
         meta["n_cluster_rows"] = clusters.count()
-        return improved
+        return slim
 
     timed("addr_link_2pass", link)
     meta["link_docs_per_sec"] = round(2 * n / timings["addr_link_2pass"], 1)

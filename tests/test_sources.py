@@ -1,0 +1,107 @@
+"""CSV / JSON ingestion connectors (reference entry paths:
+examples/match_epc_to_os.py:24-45 CSV, scripts/generate_better_tfs.py:50-82
+JSON + parquet export), exercised end-to-end into the cleaning pipeline."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.cleaning import clean_addresses
+from uk_address_matcher_spark.corpus import domain_token_frequencies
+from uk_address_matcher_spark.sources import (
+    read_addresses_csv,
+    read_addresses_json,
+    write_addresses_parquet,
+)
+
+
+def _write_epc_csv(tmp_path):
+    p = tmp_path / "certificates.csv"
+    p.write_text(
+        "LMK_KEY,ADDRESS1,ADDRESS2,ADDRESS3,POSTCODE,UPRN\n"
+        "k1,10 Downing Street,Westminster,,SW1A 2AA,100\n"
+        "k2,Flat A,12 Acacia Avenue,London,SW1A 2AB,200\n"
+    )
+    return str(p)
+
+
+def test_read_addresses_csv(spark, tmp_path):
+    df = read_addresses_csv(spark, _write_epc_csv(tmp_path), extra_cols=("UPRN",))
+    rows = {r["unique_id"]: r for r in df.collect()}
+    assert rows["k1"]["address_concat"] == "10 Downing Street Westminster"
+    assert rows["k2"]["address_concat"] == "Flat A 12 Acacia Avenue London"
+    assert rows["k1"]["postcode"] == "SW1A 2AA"
+    assert rows["k2"]["UPRN"] == "200"
+    # flows straight into the cleaning pipeline
+    cleaned = clean_addresses(
+        df.drop("UPRN"), domain_token_frequencies(spark), ["LONDON"]
+    )
+    out = {r["unique_id"]: r for r in cleaned.collect()}
+    assert out["k1"]["numeric_token_1"] == "10"
+    assert out["k2"]["flat_letter"] == "A"
+
+
+def test_read_addresses_json(spark, tmp_path):
+    recs = [
+        {
+            "company_number": "00000001",
+            "data": {
+                "address": {
+                    "premises": "Unit 5",
+                    "address_line_1": "Station Road",
+                    "address_line_2": None,
+                    "country": "England",
+                    "locality": "York",
+                    "postal_code": "YO1 1AA",
+                    "region": None,
+                }
+            },
+        },
+        {
+            "company_number": "00000002",
+            "data": {
+                "address": {
+                    "premises": "9",
+                    "address_line_1": "High Street",
+                    "address_line_2": "Old Town",
+                    "country": "France",  # filtered out
+                    "locality": "Paris",
+                    "postal_code": "75001",
+                    "region": None,
+                }
+            },
+        },
+        {
+            "company_number": "00000003",
+            "data": {
+                "address": {
+                    "premises": "1",
+                    "address_line_1": "Castle Hill",
+                    "address_line_2": None,
+                    "country": None,  # NULL country kept
+                    "locality": "Edinburgh",
+                    "postal_code": "EH1 1AA",
+                    "region": "Scotland",
+                }
+            },
+        },
+    ]
+    p = tmp_path / "companies.json"
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    df = read_addresses_json(spark, str(p), file_identifier="t")
+    rows = df.orderBy("unique_id").collect()
+    assert len(rows) == 2  # France filtered
+    concats = {r["address_concat"] for r in rows}
+    assert "Unit 5 Station Road York" in concats
+    assert "1 Castle Hill Edinburgh Scotland" in concats
+    assert all(r["unique_id"].startswith("t_") for r in rows)
+
+
+def test_write_addresses_parquet_roundtrip(spark, tmp_path):
+    df = read_addresses_csv(spark, _write_epc_csv(tmp_path))
+    out = str(tmp_path / "addresses.parquet")
+    write_addresses_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"unique_id", "address_concat", "postcode"}
+    assert back.filter(F.col("unique_id") == "k1").count() == 1

@@ -132,3 +132,23 @@ def test_decode_media_real_path_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or "real media decode" in str(
         exc_info.value
     )
+
+
+def test_simhash_neardup_matches_bruteforce(spark, docs):
+    """Pigeonhole banding must find EVERY pair within max_hamming (no
+    false negatives) and the popcount verify kills everything else."""
+    import itertools
+
+    from uk_address_matcher_spark.textops import dedup as D
+
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=16).collect()}
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_duplicates(docs, bits=16, max_hamming=2).collect()
+    }
+    assert got == want

@@ -42,19 +42,24 @@ def connected_components(
     durable + resumable; otherwise localCheckpoint truncates lineage in
     memory. Raises if not converged within max_iterations.
     """
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und0 = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+        .cache()
     )
-    # AQE partition coalescing (on in session.py) right-sizes the loop's
-    # tiny label shuffles at runtime — no session-conf mutation, which
-    # would re-plan concurrent jobs on the shared session at the wrong
-    # width.
-    und = und.dropDuplicates().cache()
+    n_edges = und0.count()
+    # per-DataFrame loop-width sizing (see bipartite_components) — no
+    # session-conf mutation, concurrent jobs unaffected
+    loop_parts = max(n_edges // 500_000 + 1, 1)
+    und = und0.repartition(loop_parts, "src").cache()
     und.count()
+    und0.unpersist()
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .repartition(loop_parts, "node")
         .localCheckpoint()
     )
     return _iterate(und, labels, max_iterations, checkpointer)
@@ -104,10 +109,32 @@ def _iterate(und, labels, max_iterations, checkpointer):
     raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
 
 
+def _union_find(conflict_rows) -> dict:
+    """Driver-side union-find over (lab, mlab) conflict pairs; returns
+    {label: root} with root = min of each merged set (path-compressed)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in conflict_rows:
+        a, b = find(row[0]), find(row[1])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
 def bipartite_components(
     edges: DataFrame,
     max_rounds: int = 12,
     checkpointer=None,
+    driver_merge_limit: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for a BIPARTITE edge set (src = canonical side,
     dst = messy side, the shape every match graph has: every scored pair
@@ -123,55 +150,111 @@ def bipartite_components(
     the minimum member id (identical contract to connected_components),
     deterministic at any parallelism.
     """
-    e = edges.select(F.col("src").alias("c"), F.col("dst").alias("m"))
-    e = e.dropDuplicates().cache()
+    e0 = (
+        edges.select(F.col("src").alias("c"), F.col("dst").alias("m"))
+        .dropDuplicates()
+        .cache()
+    )
+    n_edges = e0.count()
+    # size the loop's shuffle width to the data: label frames are two
+    # narrow strings, so ~500k edge rows per task keeps every stage at a
+    # handful of tasks (driver/stage latency dominates these tiny loop
+    # shuffles — a 32-wide exchange on a 50k-row frame is pure overhead).
+    # This is per-DataFrame repartitioning, NOT session conf: concurrent
+    # jobs on the session are unaffected. At 10^12 docs the same formula
+    # yields thousands of partitions — the loop stays cluster-wide.
+    loop_parts = max(n_edges // 500_000 + 1, 1)
+    e = e0.repartition(loop_parts, "c").cache()
     e.count()
+    e0.unpersist()
 
-    lab = e.select("c").distinct().withColumn("lab", F.col("c")).localCheckpoint()
+    lab = (
+        e.select("c")
+        .distinct()
+        .withColumn("lab", F.col("c"))
+        .repartition(loop_parts, "c")
+        .localCheckpoint()
+    )
 
-    def two_hop(lab_df):
-        # min label over the 2-hop neighbourhood; c is in N(m) for every
-        # m in N(c), so the min already covers the node's own label
-        m_min = (
-            e.join(lab_df, "c")
-            .groupBy("m")
-            .agg(F.min("lab").alias("mlab"))
-        )
-        return (
-            e.join(m_min, "m").groupBy("c").agg(F.min("mlab").alias("lab")),
-            m_min,
-        )
-
-    m_min = None
+    m_lab = None
     for i in range(max_rounds):
-        new_lab, m_min = two_hop(lab)
-        # two pointer-doubling steps (lab values are canonical ids, so a
-        # label's label exists): chains shrink 4x per round; no
-        # convergence job per step — the outer check catches the rest
+        # hop 1: each messy node aggregates min/max of its canonical
+        # neighbours' labels — min drives propagation, min != max is the
+        # FUSED convergence signal (no separate old-vs-new compare join)
+        t = e.join(lab, "c").cache()
+        m_agg = (
+            t.groupBy("m")
+            .agg(F.min("lab").alias("mlab"), F.max("lab").alias("mmax"))
+            .cache()
+        )
+        pending = m_agg.filter(F.col("mlab") != F.col("mmax")).count()
+        if pending == 0:
+            # every messy node's neighbourhood agrees -> labels constant
+            # per component; the constant is the min canonical id (the
+            # min-canonical's own label is itself at any fixpoint)
+            m_lab = m_agg.select("m", F.col("mlab").alias("lab"))
+            t.unpersist()
+            break
+        # ENDGAME: after the first contraction the label-CONFLICT graph
+        # (distinct (label, neighbourhood-min) pairs of still-pending
+        # messy nodes) is orders of magnitude smaller than the input.
+        # When it fits comfortably on the driver, one union-find resolves
+        # all remaining merges at once instead of paying ~2 more
+        # shuffle-barrier rounds per factor-4 of chain length. Guarded by
+        # a hard row limit — over the limit the loop stays distributed.
+        conflicts = (
+            t.join(
+                m_agg.filter(F.col("mlab") != F.col("mmax")).select("m", "mlab"),
+                "m",
+            )
+            .filter(F.col("lab") != F.col("mlab"))
+            .select("lab", "mlab")
+            .distinct()
+            .cache()
+        )
+        n_conf = conflicts.count()
+        if n_conf <= driver_merge_limit:
+            root = _union_find(conflicts.collect())
+            remap = lab.sparkSession.createDataFrame(
+                [(k, v) for k, v in root.items() if k != v], "lab string, root string"
+            )
+            lab = (
+                lab.join(F.broadcast(remap), "lab", "left")
+                .select("c", F.coalesce("root", "lab").alias("lab"))
+                .repartition(loop_parts, "c")
+            )
+            if checkpointer is not None:
+                lab = checkpointer.checkpoint(lab, f"bcc_round_{i}_endgame")
+            else:
+                lab = lab.localCheckpoint()
+            m_lab = (
+                e.join(lab, "c").groupBy("m").agg(F.min("lab").alias("lab"))
+            )
+            conflicts.unpersist(); m_agg.unpersist(); t.unpersist()
+            break
+        conflicts.unpersist()
+        # hop 2 (distributed round): canonical takes the min over its
+        # messy neighbours, then two pointer-doubling steps (labels are
+        # canonical ids, so a label's label exists): chains shrink 4x per
+        # round with no per-step convergence job
+        new_lab = (
+            e.join(m_agg.select("m", "mlab"), "m")
+            .groupBy("c")
+            .agg(F.min("mlab").alias("lab"))
+        )
+        m_agg.unpersist(); t.unpersist()
         for _ in range(2):
             ptr = new_lab.select(F.col("c").alias("lab"), F.col("lab").alias("root"))
             new_lab = new_lab.join(ptr, "lab").select("c", F.col("root").alias("lab"))
+        new_lab = new_lab.repartition(loop_parts, "c")
         if checkpointer is not None:
             new_lab = checkpointer.checkpoint(new_lab, f"bcc_round_{i}")
         else:
             new_lab = new_lab.localCheckpoint()
-        changed = (
-            lab.withColumnRenamed("lab", "old")
-            .join(new_lab, "c")
-            .filter(F.col("old") != F.col("lab"))
-            .count()
-        )
         lab = new_lab
-        if changed == 0:
-            break
     else:
         raise RuntimeError(f"bipartite_components: no convergence in {max_rounds} rounds")
 
-    # messy-side labels from the final round's m_min re-resolved through
-    # the final canonical labels (one join on the already-final labels)
-    m_lab = (
-        e.join(lab, "c").groupBy("m").agg(F.min("lab").alias("lab"))
-    )
     members = lab.select(F.col("c").alias("node"), "lab").union(
         m_lab.select(F.col("m").alias("node"), "lab")
     )

@@ -50,10 +50,17 @@ def _jaro(s1: str, s2: str) -> float:
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler_py(s1: str | None, s2: str | None, p: float = 0.1) -> float | None:
+def jaro_winkler_py(
+    s1: str | None, s2: str | None, p: float = 0.1, boost_threshold: float = 0.7
+) -> float | None:
+    """Standard Winkler definition: the prefix boost applies only when the
+    Jaro similarity exceeds ``boost_threshold`` (0.7) — same semantics as
+    DuckDB's jaro_winkler_similarity (verified digit-for-digit)."""
     if s1 is None or s2 is None:
         return None
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

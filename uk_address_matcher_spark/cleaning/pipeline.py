@@ -153,11 +153,13 @@ def get_common_end_tokens(df: DataFrame, min_share: float = 0.005) -> list[str]:
     the SHARE of rows whose address ends with the token, which is
     scale-invariant.
     """
-    prep = run_queue(df, QUEUE_PRE_TF)
-    n = prep.count()
-    last = prep.select(
+    # project to the one needed column BEFORE caching: the count() and the
+    # groupBy share one materialisation of the cleaning queue instead of
+    # running it twice, and the cache holds a single string per row
+    last = run_queue(df, QUEUE_PRE_TF).select(
         F.try_element_at("address_without_numbers_tokenised", F.lit(-1)).alias("token")
-    )
+    ).cache()
+    n = last.count()
     rows = (
         last.filter(F.col("token").isNotNull() & (F.col("token") != ""))
         .groupBy("token")
@@ -166,4 +168,5 @@ def get_common_end_tokens(df: DataFrame, min_share: float = 0.005) -> list[str]:
         .orderBy(F.desc("cnt"))
         .collect()
     )
+    last.unpersist()
     return [r["token"] for r in rows]

@@ -25,6 +25,18 @@ from uk_address_matcher_spark.textops.analysis import md5_int, normalize_text, t
 MERSENNE = 2147483647
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-split a narrow input across all cores before per-row-heavy
+    compute (shingling, per-shingle hashing): a small parquet table
+    arrives as ONE file split, which would serialize the whole scan onto
+    one core. No-op when the scan is already parallel — at real scale the
+    file splits provide the parallelism and no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", min_group_size: int = 2
 ) -> DataFrame:
@@ -40,20 +52,26 @@ def exact_duplicates(
 
 
 def _shingles(c: Column, n: int) -> Column:
-    t = tokens(c)
-    return F.when(
-        F.size(t) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array(F.array_join(t, " ")))
+    from uk_address_matcher_spark.cleaning.steps import let
+
+    def body(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(t, " ")))
+
+    # let-bound: inlining tokens(c) would re-run the regex tokenisation
+    # once PER SHINGLE INDEX (it appears inside the transform lambda)
+    return let(tokens(c), body)
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         "doc_id", F.explode(_shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -143,7 +161,7 @@ def minhash_signatures(
     base_hashes = F.transform(
         _shingles(F.col(text_col), n), lambda s: md5_int(s) % MERSENNE
     )
-    return df.select("doc_id", let(base_hashes, sigs).alias("sig"))
+    return _spread(df).select("doc_id", let(base_hashes, sigs).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -276,18 +294,25 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     Expression-only: for each bit position, count tokens whose md5-derived
     hash has that bit set vs unset; fingerprint bit = majority.
     """
+    from uk_address_matcher_spark.cleaning.steps import let
+
     t = tokens(F.col(text_col))
     hashes = F.transform(t, lambda tok: md5_int(tok))
 
-    def bit(i: int) -> Column:
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(ones * 2 >= F.size(hashes), F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ) * F.lit(2**i).cast("bigint")
+    def fp_of(hs: Column) -> Column:
+        # let-bound: the md5 transform is evaluated ONCE per row — inlining
+        # `hashes` into every bit() would re-hash every token per bit
+        def bit(i: int) -> Column:
+            ones = F.size(
+                F.filter(hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+            )
+            return F.when(ones * 2 >= F.size(hs), F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ) * F.lit(2**i).cast("bigint")
 
-    fp = None
-    for i in range(bits):
-        fp = bit(i) if fp is None else fp + bit(i)
-    return df.select("doc_id", fp.alias("simhash"))
+        fp = None
+        for i in range(bits):
+            fp = bit(i) if fp is None else fp + bit(i)
+        return fp
+
+    return _spread(df).select("doc_id", let(hashes, fp_of).alias("simhash"))

@@ -1,0 +1,117 @@
+"""Structured Streaming surface: file-source stream -> cleaning sink parity
+with batch; micro-batch linkage via foreachBatch; watermarked arrivals."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.blocking import block_on
+from uk_address_matcher_spark.corpus import domain_token_frequencies, edge_case_flat_rows
+from uk_address_matcher_spark.cleaning import clean_addresses
+from uk_address_matcher_spark.linkage import build_side_tables
+from uk_address_matcher_spark.streaming import (
+    arrival_stats,
+    read_address_stream,
+    stream_clean_addresses,
+    stream_link_addresses,
+)
+
+
+def _flat_rows():
+    rows, _ = edge_case_flat_rows()
+    return [(r[0], r[1], r[2]) for r in rows]
+
+
+def _side(spark, flat):
+    return build_side_tables(
+        spark, flat, common_end_min_share=0.05,
+        rel_tok_freq=domain_token_frequencies(spark),
+    )
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout * 1000)
+    deadline = time.time() + timeout
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not query.isActive, "streaming query did not drain"
+
+
+def test_stream_clean_matches_batch(spark, tmp_path):
+    flat = spark.createDataFrame(
+        _flat_rows(), "unique_id string, address_concat string, postcode string"
+    )
+    in_dir = str(tmp_path / "landing")
+    flat.write.mode("overwrite").parquet(in_dir)
+    side = _side(spark, flat)
+
+    stream = read_address_stream(spark, in_dir)
+    assert stream.isStreaming
+    q = stream_clean_addresses(
+        stream, side, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    _await(q)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = clean_addresses(flat, side.rel_tok_freq, side.common_end_tokens)
+    g = {r["unique_id"]: r.asDict() for r in got.collect()}
+    w = {r["unique_id"]: r.asDict() for r in want.collect()}
+    assert g == w  # stream == batch, row for row
+
+
+def test_stream_link_microbatch(spark, tmp_path):
+    rows, _ = edge_case_flat_rows()
+    flat = spark.createDataFrame(
+        rows,
+        "unique_id string, address_concat string, postcode string, "
+        "side string, test_block int",
+    )
+    canon = flat.filter(F.col("side") == "c").drop("side")
+    messy = flat.filter(F.col("side") == "m").drop("side", "test_block")
+    side = _side(spark, flat.drop("side", "test_block"))
+
+    in_dir = str(tmp_path / "messy_landing")
+    messy.write.mode("overwrite").parquet(in_dir)
+
+    # stream lacks test_block -> block on postcode-style default rules
+    stream = read_address_stream(spark, in_dir)
+    q = stream_link_addresses(
+        stream,
+        canon.drop("test_block"),
+        side,
+        str(tmp_path / "pred"),
+        str(tmp_path / "ckpt2"),
+        rules=None,
+        threshold_match_weight=-50,
+    )
+    _await(q)
+    pred = spark.read.parquet(str(tmp_path / "pred"))
+    assert pred.count() > 0
+    assert {"unique_id_l", "unique_id_r", "match_weight", "match_probability"} <= set(
+        pred.columns
+    )
+    # every streamed messy record that found any candidate appears
+    assert pred.select("unique_id_r").distinct().count() > 10
+
+
+def test_arrival_stats_plan_is_streaming(spark, tmp_path):
+    flat = spark.createDataFrame(
+        _flat_rows(), "unique_id string, address_concat string, postcode string"
+    )
+    in_dir = str(tmp_path / "landing3")
+    flat.write.mode("overwrite").parquet(in_dir)
+    stream = read_address_stream(spark, in_dir)
+    agg = arrival_stats(stream)
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("arrivals")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # append mode emits only watermark-closed windows; with one batch of
+    # current-timestamp events nothing finalizes — the contract here is
+    # that the watermarked streaming aggregation RUNS end to end
+    spark.sql("SELECT * FROM arrivals").collect()

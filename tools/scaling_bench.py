@@ -42,24 +42,28 @@ def run_level(cpus: int, n: int) -> dict:
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()  # corpus generation outside the timer
 
-    t0 = time.time()
-    side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
-    improved = link_addresses(canon, messy, side)
-    # production pass boundary (see bench.py): persist the narrow
-    # prediction projection to parquet, drop the pipeline caches, cluster
-    # from the pruned scan
+    # north-rule configuration: every pass checkpointed durably (resume +
+    # per-partition lineage); at this corpus size it is also what keeps the
+    # job healthy — in-memory caches of the wide pair frames spill tens of
+    # GB and can lose blocks to eviction mid-job on a single box
+    import shutil
     import tempfile as _tf
 
-    pred_path = os.path.join(_tf.gettempdir(), f"uam_scale_pred_{cpus}_{os.getpid()}.parquet")
-    improved.select("unique_id_l", "unique_id_r", "match_weight").write.mode(
-        "overwrite"
-    ).parquet(pred_path)
+    from uk_address_matcher_spark.checkpoint import CheckpointManager
+
+    ck_dir = os.path.join(_tf.gettempdir(), f"uam_scale_ck_{cpus}_{os.getpid()}")
+    shutil.rmtree(ck_dir, ignore_errors=True)
+    t0 = time.time()
+    side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
+    ck = CheckpointManager(spark, ck_dir)
+    improved = link_addresses(canon, messy, side, checkpointer=ck)
+    slim = improved.select("unique_id_l", "unique_id_r", "match_weight")
     spark.catalog.clearCache()
-    slim = spark.read.parquet(pred_path)
     n_pred = slim.count()
-    clusters = cluster_predictions(slim, threshold_match_weight=5.0)
+    clusters = cluster_predictions(slim, threshold_match_weight=5.0, checkpointer=ck)
     n_clusters = clusters.count()
     elapsed = time.time() - t0
+    shutil.rmtree(ck_dir, ignore_errors=True)
     spark.stop()
     return {
         "cpus": cpus,
@@ -119,7 +123,7 @@ def run_kernel(cpus: int, n: int) -> dict:
 
 def main():
     # before the first JVM launch (driver memory is fixed for the process)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_N", "150000"))
     lo = run_level(8, n)
     hi = run_level(32, n)

@@ -87,6 +87,24 @@ def cmd_demo(args) -> None:
     )
 
 
+def cmd_ingest(args) -> None:
+    """CSV/JSON landing-zone ingestion -> flat parquet address table."""
+    from uk_address_matcher_spark.session import get_spark
+    from uk_address_matcher_spark.sources import (
+        read_addresses_csv,
+        read_addresses_json,
+        write_addresses_parquet,
+    )
+
+    spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
+    if args.format == "csv":
+        df = read_addresses_csv(spark, args.input)
+    else:
+        df = read_addresses_json(spark, args.input, file_identifier=args.identifier)
+    write_addresses_parquet(df, args.output)
+    print(json.dumps({"status": "ok", "rows": spark.read.parquet(args.output).count()}))
+
+
 def cmd_package(args) -> None:
     import os
     import zipfile
@@ -123,6 +141,14 @@ def main(argv=None) -> None:
     demo.add_argument("--n", type=int, default=5000)
     _add_common(demo)
     demo.set_defaults(fn=cmd_demo)
+
+    ing = sub.add_parser("ingest", help="CSV/JSON address ingestion -> parquet")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--output", required=True)
+    ing.add_argument("--format", choices=["csv", "json"], default="csv")
+    ing.add_argument("--identifier", default="src", help="unique_id prefix (json)")
+    _add_common(ing)
+    ing.set_defaults(fn=cmd_ingest)
 
     pkg = sub.add_parser("package", help="build the --py-files zip")
     pkg.set_defaults(fn=cmd_package)

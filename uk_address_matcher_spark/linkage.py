@@ -96,8 +96,18 @@ def link_addresses(
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
+    # when the second pass consumes the predictions, drop the compared
+    # attribute columns from pass 1 (the second pass re-derives its
+    # features from the address strings; the histogram maps would
+    # dominate the checkpoint encode) — the user-facing single-pass
+    # output keeps them, like the reference's retain_matching_columns
     pred = score_pairs(
-        pairs, cl, cr, side.numeric_tf, threshold_match_weight=threshold_match_weight
+        pairs,
+        cl,
+        cr,
+        side.numeric_tf,
+        threshold_match_weight=threshold_match_weight,
+        retain_matching_columns=not second_pass,
     )
     if checkpointer is not None:
         pred = checkpointer.checkpoint(pred, "predictions_pass1")

@@ -302,6 +302,7 @@ def score_pairs(
     numeric_tf: DataFrame | None = None,
     threshold_match_weight: float | None = None,
     retain_bf: bool = False,
+    retain_matching_columns: bool = True,
 ) -> DataFrame:
     """(unique_id_l, unique_id_r) pairs -> scored prediction table.
 
@@ -309,6 +310,15 @@ def score_pairs(
     (ids only move through the blocking shuffle), then one projection
     computes all BFs and the weight; the threshold filter sits directly
     above it so Catalyst can prune early.
+
+    ``retain_matching_columns`` mirrors the reference setting of the same
+    name (splink_model.py:36): False drops the compared attribute columns
+    from the OUTPUT (they are still read for scoring), keeping only ids,
+    weights, the address/postcode pair, and common_end_tokens_hist_r (the
+    second pass's inputs). Materialising the full frame costs real time —
+    the token-histogram maps dominate the parquet encode of a pass-1
+    checkpoint — so drop them when only the second pass consumes the
+    output.
     """
     # slim payload: blocking-key arrays (unusual_* bands) are not used by
     # scoring or the second pass — dropping them shrinks the pair-attach
@@ -361,6 +371,19 @@ def score_pairs(
         df = df.filter(F.col("match_weight") > threshold_match_weight)
     if not retain_bf:
         df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
+    if not retain_matching_columns:
+        keep = {
+            "unique_id_l",
+            "unique_id_r",
+            "match_weight",
+            "match_probability",
+            "original_address_concat_l",
+            "original_address_concat_r",
+            "postcode_l",
+            "postcode_r",
+            "common_end_tokens_hist_r",
+        }
+        df = df.select(*[c for c in df.columns if c in keep])
     return df
 
 

@@ -1,0 +1,129 @@
+"""Structured Streaming surface: streaming ingest -> cleaning -> sink, and
+micro-batch linkage against a static canonical table.
+
+The reference is a batch engine (no streaming surface); this module is the
+north-rule value-add for continuous pipelines: new messy addresses arrive
+as files (the standard landing-zone pattern), are cleaned with the SAME
+pure-projection cleaning queue the batch path uses, and are either
+persisted or linked per micro-batch.
+
+Design notes for scale:
+ - cleaning is stateless per-row (pure Catalyst projections + a broadcast
+   TF dictionary), so it streams with no state store and no shuffle;
+ - linkage needs blocking joins + windows, which Structured Streaming
+   cannot express incrementally — so it runs via foreachBatch: each
+   micro-batch is a bounded DataFrame linked against the static canonical
+   side with the ordinary batch operators (the standard pattern for
+   stream-to-large-static enrichment);
+ - arrival_stats shows the watermark + event-time window idiom for late
+   data over the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_address_matcher_spark.cleaning import clean_addresses
+
+FLAT_SCHEMA = "unique_id string, address_concat string, postcode string"
+
+
+def read_address_stream(
+    spark: SparkSession,
+    input_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of flat address rows (landing-zone pattern)."""
+    reader = spark.readStream.format(fmt).schema(FLAT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(input_dir)
+
+
+def stream_clean_addresses(
+    stream: DataFrame,
+    side,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Cleaning as a continuous query: stateless projections only, so the
+    stream needs no state store; TF attachment uses the broadcast-dict
+    Arrow UDF (zero-shuffle). Returns the started StreamingQuery
+    (availableNow trigger: drains what exists, then stops — the batch-able
+    flavour; swap for processingTime on a live cluster)."""
+    cleaned = clean_addresses(
+        stream, side.rel_tok_freq, side.common_end_tokens, use_broadcast_tf=True
+    )
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_link_addresses(
+    stream: DataFrame,
+    canonical_flat: DataFrame,
+    side,
+    output_dir: str,
+    checkpoint_dir: str,
+    rules=None,
+    threshold_match_weight: float = -50.0,
+):
+    """Micro-batch linkage: each trigger's messy rows are linked against
+    the static canonical table with the full two-pass batch pipeline and
+    appended to ``output_dir``. foreachBatch is the supported idiom for
+    plans (blocking joins, windows, groupBys) that Structured Streaming
+    cannot run incrementally."""
+    from uk_address_matcher_spark.linkage import link_addresses
+
+    def for_each(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        improved = link_addresses(
+            canonical_flat,
+            batch_df,
+            side,
+            rules=rules,
+            threshold_match_weight=threshold_match_weight,
+        )
+        improved.select(
+            "unique_id_l", "unique_id_r", "match_weight", "match_probability"
+        ).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(for_each)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def arrival_stats(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    window_len: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed counts per postcode district —
+    the late-data idiom: rows later than ``watermark`` behind the max seen
+    event time are dropped, windows finalize incrementally."""
+    with_ts = stream.withColumn(
+        "event_time",
+        F.coalesce(
+            # try_: ANSI mode throws on non-timestamp ids, null is wanted
+            F.try_to_timestamp(F.col("unique_id")),
+            F.current_timestamp(),
+        ),
+    )
+    district = F.split_part(F.col("postcode"), F.lit(" "), F.lit(1))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_len), district.alias("district"))
+        .agg(F.count("*").alias("n_arrivals"))
+    )

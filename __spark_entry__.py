@@ -1209,6 +1209,58 @@ FROM f ORDER BY doc_id, media_ref
 """
 
 
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling: every-30th frame index per video media span,
+    with a per-frame digest — the (stubbed-decode) frame-extraction
+    plumbing; index arithmetic is pure expressions, SQL-replayable."""
+    from uk_address_matcher_spark.corpus import to_documents
+    from uk_address_matcher_spark.textops.multimodal import (
+        decode_media,
+        media_table,
+        sample_frames,
+    )
+
+    docs = to_documents(_edge_flat(spark))
+    decoded = decode_media(media_table(docs))
+    return sample_frames(decoded, every_n=30).orderBy(
+        "doc_id", "media_ref", "frame_idx"
+    )
+
+
+def _oracle_media_frames() -> str:
+    return f"""
+WITH {_edge_values_sql()},
+pres AS (
+  SELECT unique_id AS doc_id,
+         ('0x' || substring(md5(unique_id || 'media'), 1, 8))::BIGINT AS h
+  FROM edge
+),
+refs AS (
+  SELECT doc_id, 'media://' || md5(doc_id || 'a') AS media_ref FROM pres WHERE h % 4 = 1
+  UNION ALL
+  SELECT doc_id, 'media://' || md5(doc_id || 'b') FROM pres WHERE h % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'media://' || md5(doc_id || 'c') FROM pres WHERE h % 5 = 2
+),
+dec AS (
+  SELECT doc_id, media_ref,
+         ('0x' || substring(md5(media_ref), 1, 8))::BIGINT AS rh
+  FROM refs
+),
+vids AS (
+  SELECT doc_id, media_ref, (rh % 300 + 1)::INT AS n_frames
+  FROM dec WHERE (rh % 3) = 2  -- kind index 2 = 'video'
+)
+SELECT doc_id, media_ref, f::INT AS frame_idx,
+       md5(media_ref || '#' || f::VARCHAR) AS frame_digest
+FROM (
+  SELECT doc_id, media_ref, unnest(generate_series(0, n_frames - 1, 30)) AS f
+  FROM vids
+)
+ORDER BY doc_id, media_ref, frame_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": _q_pricing_summary,
@@ -1244,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_lsh": _q_knn_lsh,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_media_features": _q_media_features,
+        "q_media_frames": _q_media_frames,
     }
 
 
@@ -1285,4 +1338,5 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_lsh": _oracle_knn_lsh(),
         "q_embedding_neardup": _oracle_embedding_neardup(),
         "q_media_features": _oracle_media_features(),
+        "q_media_frames": _oracle_media_frames(),
     }

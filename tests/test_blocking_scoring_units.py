@@ -15,8 +15,8 @@ from uk_address_matcher_spark.scoring import (
 CLEANED_SCHEMA = (
     "unique_id string, numeric_token_1 string, numeric_token_2 string,"
     " numeric_token_3 string,"
-    " token_rel_freq_arr_hist map<string, struct<cnt: bigint, rel_freq: double>>,"
-    " common_end_tokens_hist map<string, struct<cnt: bigint, rel_freq: double>>,"
+    " token_rel_freq_arr_hist array<struct<tok: string, cnt: bigint, rel_freq: double>>,"
+    " common_end_tokens_hist array<struct<tok: string, cnt: bigint, rel_freq: double>>,"
     " postcode string, original_address_concat string,"
     " flat_positional string, flat_letter string,"
     " unusual_tokens_arr array<string>, very_unusual_tokens_arr array<string>,"
@@ -56,7 +56,6 @@ def test_cross_column_rule_pairs(spark):
 
 def test_pair_dedup_across_rules(spark):
     # a pair matching many rules appears exactly once
-    hist = {"X": (1, 1e-6)}
     left = spark.createDataFrame(
         [_rec("L", n1="7", n2="8", pc="AA1 1AA", u=["Q", "W"], v=["Q"], e=["Q"])],
         CLEANED_SCHEMA,
@@ -72,12 +71,12 @@ def test_hist_intersection_product(spark):
     df = spark.createDataFrame(
         [
             (
-                {"A": (2, 0.1), "B": (1, 0.5)},
-                {"A": (1, 0.1), "C": (3, 0.9)},
+                [("A", 2, 0.1), ("B", 1, 0.5)],
+                [("A", 1, 0.1), ("C", 3, 0.9)],
             )
         ],
-        "hl map<string, struct<cnt: bigint, rel_freq: double>>,"
-        " hr map<string, struct<cnt: bigint, rel_freq: double>>",
+        "hl array<struct<tok: string, cnt: bigint, rel_freq: double>>,"
+        " hr array<struct<tok: string, cnt: bigint, rel_freq: double>>",
     )
     # only A overlaps: 0.1 ^ min(2,1) = 0.1
     val = df.select(
@@ -89,12 +88,12 @@ def test_hist_intersection_product(spark):
 def test_score_weights_reconcile(spark):
     left = spark.createDataFrame(
         [_rec("L", n1="10", pc="SW1A 2AA", oac="10 DOWNING STREET",
-              hist={"DOWNING": (1, 1e-5)}, cet={"LONDON": (1, 0.02)})],
+              hist=[("DOWNING", 1, 1e-5)], cet=[("LONDON", 1, 0.02)])],
         CLEANED_SCHEMA,
     )
     right = spark.createDataFrame(
         [_rec("R", n1="10", pc="SW1A 2AA", oac="10 DOWNING STREET",
-              hist={"DOWNING": (1, 1e-5)}, cet={"LONDON": (1, 0.02)})],
+              hist=[("DOWNING", 1, 1e-5)], cet=[("LONDON", 1, 0.02)])],
         CLEANED_SCHEMA,
     )
     pairs = spark.createDataFrame([("L", "R")], "unique_id_l string, unique_id_r string")

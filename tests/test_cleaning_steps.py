@@ -160,17 +160,19 @@ def test_clean_addresses_schema_and_values(spark):
     assert r1["numeric_token_1"] == "10"
     assert r1["original_address_concat"] == "10 DOWNING STREET WESTMINSTER LONDON"
     assert r1["postcode"] == "SW1A 2AA"
-    hist = r1["token_rel_freq_arr_hist"]
+    hist = {e["tok"]: e for e in r1["token_rel_freq_arr_hist"]}
     # LONDON moved out into common_end_tokens_hist
     assert "LONDON" not in hist
     assert set(hist.keys()) == {"DOWNING", "STREET", "WESTMINSTER"}
     assert hist["DOWNING"]["cnt"] == 1
+    # histogram arrays arrive tok-sorted (steps._histogram_arr contract)
+    assert [e["tok"] for e in r1["token_rel_freq_arr_hist"]] == sorted(hist.keys())
     # reference-style TF pool: 19 non-numeric tokens (u4 keeps FLAT + A)
     # plus the 5 numeric tokens 10/11/12/12/9 (get_token_frequeny_table
     # list_concats numeric_token_1..3 into the pool): DOWNING appears twice
     assert abs(hist["DOWNING"]["rel_freq"] - 2 / 24) < 1e-12
     assert r1["common_end_tokens_hist"] is not None
-    assert "LONDON" in r1["common_end_tokens_hist"]
+    assert "LONDON" in {e["tok"] for e in r1["common_end_tokens_hist"]}
     # u4 has flat letter A
     assert out["u4"]["flat_letter"] == "A"
 
@@ -200,4 +202,4 @@ def test_use_first_unusual_token_when_no_number(spark):
     out = {r["unique_id"]: r for r in clean_addresses(df, tf, []).collect()}
     # ASHFIELDS is the rarest token -> becomes numeric_token_1 surrogate
     assert out["u1"]["numeric_token_1"] == "ASHFIELDS"
-    assert "ASHFIELDS" not in out["u1"]["token_rel_freq_arr_hist"]
+    assert "ASHFIELDS" not in {e["tok"] for e in out["u1"]["token_rel_freq_arr_hist"]}

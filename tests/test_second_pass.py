@@ -15,13 +15,13 @@ PAIR_SCHEMA = (
     "match_weight double, match_probability double, unique_id_l string,"
     " unique_id_r string, original_address_concat_l string,"
     " original_address_concat_r string,"
-    " common_end_tokens_hist_r map<string, struct<cnt: bigint, rel_freq: double>>,"
+    " common_end_tokens_hist_r array<struct<tok: string, cnt: bigint, rel_freq: double>>,"
     " postcode_l string, postcode_r string"
 )
 
 
 def _pairs(spark, messy, canonicals, common_end_token=None):
-    hist = {common_end_token: (1, 0.0004)} if common_end_token else None
+    hist = [(common_end_token, 1, 0.0004)] if common_end_token else None
     rows = [
         (0.0, 0.5, f"l{i}", "r1", c, messy, hist, "W1A", "W1A")
         for i, c in enumerate(canonicals, start=1)

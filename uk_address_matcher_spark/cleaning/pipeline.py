@@ -37,6 +37,30 @@ QUEUE_POST_TF = [
     S.final_column_order,
 ]
 
+# The SHORT prep queues for side-table derivation (no postcode
+# canonicalisation / duplicate-end-token removal — those are linkage-prep
+# steps, not TF-prep steps; reference cleaning_pipelines.py:183-239).
+# Shared by the single-table get_* functions below and the fused
+# linkage.build_side_tables job.
+TOKEN_TF_QUEUE = [
+    S.trim_whitespace_address_and_postcode,
+    S.upper_case_address_and_postcode,
+    S.clean_address_string_first_pass,
+    S.parse_out_flat_position_and_letter,  # parse_out_numbers needs flat_letter
+    S.parse_out_numbers,
+    S.clean_address_string_second_pass,
+    S.split_numeric_tokens_to_cols,
+    S.tokenise_address_without_numbers,
+]
+
+NUMERIC_TF_QUEUE = [
+    S.trim_whitespace_address_and_postcode,
+    S.upper_case_address_and_postcode,
+    S.clean_address_string_first_pass,
+    S.parse_out_flat_position_and_letter,  # parse_out_numbers needs flat_letter
+    S.parse_out_numbers,
+]
+
 
 def run_queue(df: DataFrame, queue) -> DataFrame:
     for step in queue:
@@ -101,17 +125,7 @@ def get_address_token_frequencies(df: DataFrame) -> DataFrame:
     One explode + one groupBy; the global total comes from a single-row
     broadcast cross-join (no global window, which would single-partition).
     """
-    queue = [
-        S.trim_whitespace_address_and_postcode,
-        S.upper_case_address_and_postcode,
-        S.clean_address_string_first_pass,
-        S.parse_out_flat_position_and_letter,  # parse_out_numbers needs flat_letter
-        S.parse_out_numbers,
-        S.clean_address_string_second_pass,
-        S.split_numeric_tokens_to_cols,
-        S.tokenise_address_without_numbers,
-    ]
-    prep = run_queue(df, queue)
+    prep = run_queue(df, TOKEN_TF_QUEUE)
     all_tokens = F.concat(
         F.filter(
             F.array("numeric_token_1", "numeric_token_2", "numeric_token_3"),
@@ -129,14 +143,7 @@ def get_address_token_frequencies(df: DataFrame) -> DataFrame:
 
 def get_numeric_term_frequencies(df: DataFrame) -> DataFrame:
     """(numeric_token, tf_numeric_token) — reference cleaning_pipelines.py:183-217."""
-    queue = [
-        S.trim_whitespace_address_and_postcode,
-        S.upper_case_address_and_postcode,
-        S.clean_address_string_first_pass,
-        S.parse_out_flat_position_and_letter,  # parse_out_numbers needs flat_letter
-        S.parse_out_numbers,
-    ]
-    prep = run_queue(df, queue)
+    prep = run_queue(df, NUMERIC_TF_QUEUE)
     toks = prep.select(F.explode("numeric_tokens").alias("numeric_token"))
     counts = toks.groupBy("numeric_token").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))

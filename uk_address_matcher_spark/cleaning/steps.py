@@ -37,6 +37,25 @@ def let(value: Column, body) -> Column:
     """
     return F.try_element_at(F.transform(F.array(value), body), F.lit(1))
 
+
+def pin(value: Column, seed: int) -> Column:
+    """Identity wrapper that stops Catalyst re-evaluating ``value`` once
+    per consumer.
+
+    ``let`` binds within ONE expression; across expressions, CollapseProject
+    and PushDownPredicate inline a column's defining expression into every
+    consumer — including into HOF lambdas, where it then re-evaluates per
+    element. Embedding a seeded ``rand`` (value-neutral: the index is
+    always 1) flags the expression nondeterministic, which those rules
+    refuse to touch, so the column materialises once per row and consumers
+    reference it. Works for any column type, including maps and arrays.
+    Use only on expensive multi-consumer columns: it also blocks filter
+    pushdown through the projection.
+    """
+    idx = (F.lit(1.0) + F.lit(0.0) * F.rand(seed)).cast("int")
+    return F.try_element_at(F.array(value), idx)
+
+
 # ---------------------------------------------------------------------------
 # String-level regex battery (reference: cleaning/regexes.py)
 # ---------------------------------------------------------------------------
@@ -452,30 +471,32 @@ def separate_unusual_tokens(df: DataFrame) -> DataFrame:
     )
 
 
-def _histogram_map(arr: Column) -> Column:
-    """array<struct<tok,rel_freq>> -> map<tok, struct<cnt,rel_freq>>.
+def _histogram_arr(arr: Column) -> Column:
+    """array<struct<tok,rel_freq>> -> tok-sorted array<struct<tok,cnt,rel_freq>>.
 
-    Re-keyed vs the reference's MAP(STRUCT, UBIGINT) (SURVEY §1.2): tok
-    uniquely determines rel_freq per record, so the string-keyed map
-    carries identical information. NULL (not empty map) when the source
-    array is empty — matching DuckDB list_aggregate(_, 'histogram').
+    Carries the same information as the reference's MAP(STRUCT, UBIGINT)
+    histogram (SURVEY §1.2: tok uniquely determines rel_freq per record),
+    but as a SORTED ARRAY rather than a map: Tungsten encodes arrays far
+    more cheaply than maps in both shuffle rows and parquet pages, and the
+    scoring intersection becomes a linear merge over the two sorted sides
+    instead of per-entry map probes (scoring.hist_intersection_product).
+    NULL (not an empty array) when the source array is empty — matching
+    DuckDB list_aggregate(_, 'histogram').
     """
     def hist(a: Column) -> Column:
-        m = F.map_from_entries(
+        h = F.array_sort(
             F.transform(
                 F.array_distinct(a),
                 lambda s: F.struct(
-                    s["tok"].alias("key"),
-                    F.struct(
-                        F.size(F.filter(a, lambda y: y["tok"] == s["tok"]))
-                        .cast("long")
-                        .alias("cnt"),
-                        s["rel_freq"].alias("rel_freq"),
-                    ).alias("value"),
+                    s["tok"].alias("tok"),
+                    F.size(F.filter(a, lambda y: y["tok"] == s["tok"]))
+                    .cast("long")
+                    .alias("cnt"),
+                    s["rel_freq"].alias("rel_freq"),
                 ),
             )
         )
-        return F.when(F.size(a) > 0, m)
+        return F.when(F.size(a) > 0, h)
 
     return let(arr, hist)
 
@@ -602,8 +623,8 @@ def final_column_order(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:451-481 — histograms + canonical column order;
     # extra user columns pass through after the contract columns
     df = df.withColumn(
-        "token_rel_freq_arr_hist", _histogram_map(F.col("token_rel_freq_arr"))
-    ).withColumn("common_end_tokens_hist", _histogram_map(F.col("common_end_tokens")))
+        "token_rel_freq_arr_hist", _histogram_arr(F.col("token_rel_freq_arr"))
+    ).withColumn("common_end_tokens_hist", _histogram_arr(F.col("common_end_tokens")))
     extra = [
         c
         for c in df.columns

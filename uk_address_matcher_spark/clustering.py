@@ -134,19 +134,29 @@ def bipartite_components(
     edges: DataFrame,
     max_rounds: int = 12,
     checkpointer=None,
-    driver_merge_limit: int = 2_000_000,
+    driver_merge_limit: int = 500_000,
 ) -> DataFrame:
     """(node, component) for a BIPARTITE edge set (src = canonical side,
     dst = messy side, the shape every match graph has: every scored pair
     joins one canonical to one messy record).
 
-    Exploits bipartiteness to cut the barrier count vs general
-    connected_components: labels live on the canonical side only
-    (|canonical| rows instead of |nodes|), one round is a 2-hop min
-    propagation (canonical -> messy -> canonical, 4 narrow shuffles =
-    2 shuffles per hop), and two fixed pointer-doubling steps collapse
-    label chains by 4x per round without per-step convergence jobs.
-    Match graphs are near-star, so 1-2 rounds converge; component ids are
+    Contract: the src and dst id NAMESPACES must be disjoint (the linkage
+    pipeline guarantees this — canonical and messy ids come from different
+    datasets). An id value appearing on both sides is treated as one node,
+    like connected_components; see cluster_predictions(check_disjoint=).
+
+    ENDGAME-FIRST: match graphs are near-star (messy records point at a
+    handful of canonical candidates), so the label-conflict pairs
+    (c, min-of-its-messy-neighbourhood) — whose union-find closure IS the
+    component structure — are orders of magnitude fewer than the edges.
+    The fast path computes them with ONE aggregation + ONE limit-guarded
+    collect (no pre-counts, no iteration barriers: 3 jobs total), resolves
+    them driver-side, and broadcasts the remap back. Only when the
+    conflict set exceeds ``driver_merge_limit`` (collected as slim tuples,
+    so the default 500k is a few tens of MB of driver heap) does the
+    distributed loop run: 2-hop min propagation with fused convergence
+    signal + two pointer-doubling steps per round, re-checking the shrunken
+    conflict graph against the driver limit each round. Component ids are
     the minimum member id (identical contract to connected_components),
     deterministic at any parallelism.
     """
@@ -155,6 +165,47 @@ def bipartite_components(
         .dropDuplicates()
         .cache()
     )
+
+    # fast path: conflict pairs straight from the raw edges (labels are
+    # the identity at round 0, so no label join is needed)
+    m_min = e0.groupBy("m").agg(F.min("c").alias("mlab"))
+    conflicts0 = (
+        e0.join(m_min, "m")
+        .filter(F.col("c") != F.col("mlab"))
+        .select("c", "mlab")
+        .distinct()
+    )
+    conf_rows = [
+        (r[0], r[1]) for r in conflicts0.limit(driver_merge_limit + 1).collect()
+    ]
+    if len(conf_rows) <= driver_merge_limit:
+        root = _union_find(conf_rows)
+        spark = edges.sparkSession
+        if root:
+            remap = F.broadcast(
+                spark.createDataFrame(
+                    [(k, v) for k, v in root.items() if k != v],
+                    "c string, root string",
+                )
+            )
+            lab = (
+                e0.select("c")
+                .distinct()
+                .join(remap, "c", "left")
+                .select("c", F.coalesce("root", "c").alias("lab"))
+            )
+            m_remap = remap.withColumnsRenamed({"c": "mlab", "root": "mroot"})
+            m_lab = m_min.join(m_remap, "mlab", "left").select(
+                "m", F.coalesce("mroot", "mlab").alias("lab")
+            )
+        else:
+            lab = e0.select("c").distinct().withColumn("lab", F.col("c"))
+            m_lab = m_min.select("m", F.col("mlab").alias("lab"))
+        if checkpointer is not None:
+            lab = checkpointer.checkpoint(lab, "bcc_round_0_endgame")
+            m_lab = e0.join(lab, "c").groupBy("m").agg(F.min("lab").alias("lab"))
+        return _finalise(lab, m_lab)
+
     n_edges = e0.count()
     # size the loop's shuffle width to the data: label frames are two
     # narrow strings, so ~500k edge rows per task keeps every stage at a
@@ -255,6 +306,10 @@ def bipartite_components(
     else:
         raise RuntimeError(f"bipartite_components: no convergence in {max_rounds} rounds")
 
+    return _finalise(lab, m_lab)
+
+
+def _finalise(lab: DataFrame, m_lab: DataFrame) -> DataFrame:
     members = lab.select(F.col("c").alias("node"), "lab").union(
         m_lab.select(F.col("m").alias("node"), "lab")
     )
@@ -268,16 +323,37 @@ def cluster_predictions(
     df_predict: DataFrame,
     threshold_match_weight: float = 5.0,
     checkpointer=None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """(unique_id, cluster_id) for every id in an above-threshold pair.
 
     cluster_id is the lexicographically smallest member id — deterministic
     at any parallelism. Uses the bipartite specialisation (scored pairs
     always join the canonical side to the messy side).
+
+    CONTRACT: unique_id_l and unique_id_r values must come from disjoint
+    id namespaces (true for link_addresses output — the two sides are
+    different datasets). An id appearing on both sides would be clustered
+    as a single node and emitted once per side. ``check_disjoint=True``
+    verifies this with one extra job and raises on overlap; it is off by
+    default because the check is a full semi-join over the pair table.
     """
     edges = df_predict.filter(
         F.col("match_weight") >= threshold_match_weight
     ).select(F.col("unique_id_l").alias("src"), F.col("unique_id_r").alias("dst"))
+    if check_disjoint:
+        overlap = (
+            edges.select(F.col("src").alias("id"))
+            .join(edges.select(F.col("dst").alias("id")), "id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "cluster_predictions: id value(s) appear on BOTH sides of "
+                f"the pairs (e.g. {[r['id'] for r in overlap]}); canonical "
+                "and messy ids must be disjoint — prefix them before linking."
+            )
     cc = bipartite_components(edges, checkpointer=checkpointer)
     return cc.select(
         F.col("node").alias("unique_id"), F.col("component").alias("cluster_id")

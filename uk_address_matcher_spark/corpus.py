@@ -564,7 +564,18 @@ def grid_documents(
     """(canonical_docs, messy_docs, labels) at any scale."""
     canon = grid_canonical_flat(spark, n_canonical)
     messy, labels = messy_from_canonical(canon, dup_factor)
-    return to_documents(canon), to_documents(messy), labels
+    # AQE coalesces the house-number window's shuffle output to ONE
+    # partition (the rows are tiny by bytes), so without this every
+    # map-side consumer of a cached corpus — the whole cleaning queue,
+    # blocking key generation — runs single-core. Spread to the session's
+    # parallelism; content is a pure function of doc_id, so placement
+    # doesn't affect any result.
+    p = spark.sparkContext.defaultParallelism
+    return (
+        to_documents(canon).repartition(p),
+        to_documents(messy).repartition(p),
+        labels.repartition(p),
+    )
 
 
 def domain_token_frequencies(spark: SparkSession) -> DataFrame:

@@ -4,7 +4,10 @@ The side tables (token TF, numeric TF, common end tokens) are tiny (at
 most a few hundred thousand rows); they are materialised to the driver
 once and re-created as local DataFrames so their (full-cleaning-queue)
 plans are never re-executed by downstream broadcast joins — without this,
-every broadcast re-runs the generating pipeline.
+every broadcast re-runs the generating pipeline. All three are computed
+by ONE Spark job (a tagged token union over the corpus): driver-side
+action barriers are fixed latency that does not shrink with cores, so
+they are the first thing scaling efficiency loses to.
 """
 
 from __future__ import annotations
@@ -12,14 +15,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from uk_address_matcher_spark.blocking import block
-from uk_address_matcher_spark.cleaning import (
-    clean_addresses,
-    get_address_token_frequencies,
-    get_common_end_tokens,
-    get_numeric_term_frequencies,
-)
+from uk_address_matcher_spark.cleaning import clean_addresses
 from uk_address_matcher_spark.scoring import score_pairs
 from uk_address_matcher_spark.second_pass import (
     improve_predictions_using_distinguishing_tokens,
@@ -38,21 +37,116 @@ def build_side_tables(
     corpus_flat: DataFrame,
     common_end_min_share: float = 0.01,
     rel_tok_freq: DataFrame | None = None,
+    max_side_rows: int = 5_000_000,
 ) -> SideTables:
     """``rel_tok_freq`` (precomputed domain TF, e.g.
     corpus.domain_token_frequencies) mirrors the reference's
     clean_data_using_precomputed_rel_tok_freq path; when None, TF is
-    computed from the corpus itself (clean_data_on_the_fly path)."""
-    if rel_tok_freq is None:
-        tf_rows = get_address_token_frequencies(corpus_flat).collect()
-        tf = spark.createDataFrame(tf_rows, "token string, rel_freq double")
-    else:
-        tf = spark.createDataFrame(
-            rel_tok_freq.collect(), "token string, rel_freq double"
+    computed from the corpus itself (clean_data_on_the_fly path).
+
+    One fused job: the token-TF, numeric-TF and common-end-token branches
+    are unioned as tagged (kind, token) rows, grouped once, and collected
+    once — replacing four serial driver actions (token TF, numeric TF,
+    common-end count + collect), each of which re-ran part of the
+    cleaning queue as its own job. Branch semantics are identical to
+    cleaning.pipeline.get_address_token_frequencies /
+    get_numeric_term_frequencies / get_common_end_tokens (which remain
+    the single-table public API).
+
+    ``max_side_rows`` caps the driver collect: address vocabularies are
+    bounded (a few hundred thousand tokens), but a generic corpus with
+    unbounded vocabulary would otherwise OOM the driver silently. Over
+    the cap the build fails loudly naming the fix.
+    """
+    from uk_address_matcher_spark.cleaning import pipeline as P
+    from uk_address_matcher_spark.cleaning import steps as S
+
+    branches = []
+
+    ntf_prep = P.run_queue(corpus_flat, P.NUMERIC_TF_QUEUE)
+    branches.append(
+        ntf_prep.select(
+            F.lit("ntf").alias("kind"),
+            F.explode("numeric_tokens").alias("token"),
         )
-    ntf_rows = get_numeric_term_frequencies(corpus_flat).collect()
-    cet = get_common_end_tokens(corpus_flat, min_share=common_end_min_share)
-    ntf = spark.createDataFrame(ntf_rows, "numeric_token string, tf_numeric_token double")
+    )
+
+    # common-end branch: full linkage-prep queue; NULL last tokens are
+    # kept so the collected counts also carry the corpus row count that
+    # the share threshold needs
+    cet_prep = P.run_queue(corpus_flat, P.QUEUE_PRE_TF)
+    branches.append(
+        cet_prep.select(
+            F.lit("cet").alias("kind"),
+            F.try_element_at(
+                "address_without_numbers_tokenised", F.lit(-1)
+            ).alias("token"),
+        )
+    )
+
+    if rel_tok_freq is None:
+        tf_prep = P.run_queue(corpus_flat, P.TOKEN_TF_QUEUE)
+        all_tokens = F.concat(
+            F.filter(
+                F.array("numeric_token_1", "numeric_token_2", "numeric_token_3"),
+                lambda x: x.isNotNull(),
+            ),
+            F.col("address_without_numbers_tokenised"),
+        )
+        branches.append(
+            tf_prep.select(
+                F.lit("tf").alias("kind"), F.explode(all_tokens).alias("token")
+            )
+        )
+
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    counts = unioned.groupBy("kind", "token").agg(F.count("*").alias("cnt"))
+    rows = counts.limit(max_side_rows + 1).collect()
+    if len(rows) > max_side_rows:
+        raise ValueError(
+            f"build_side_tables: more than {max_side_rows:,} distinct "
+            "(kind, token) rows — this corpus's vocabulary is too large to "
+            "materialise on the driver. Pass a pre-aggregated TF table via "
+            "rel_tok_freq= (and precompute numeric TF / common-end tokens "
+            "with the get_* pipeline functions writing to storage), or "
+            "raise max_side_rows explicitly."
+        )
+
+    by_kind: dict[str, list] = {"tf": [], "ntf": [], "cet": []}
+    for r in rows:
+        by_kind[r["kind"]].append((r["token"], r["cnt"]))
+
+    ntf_total = sum(c for _, c in by_kind["ntf"]) or 1
+    ntf = spark.createDataFrame(
+        [(t, c / ntf_total) for t, c in by_kind["ntf"] if t is not None],
+        "numeric_token string, tf_numeric_token double",
+    )
+
+    n_rows = sum(c for _, c in by_kind["cet"])
+    cet_floor = max(int(n_rows * common_end_min_share), 3)
+    cet = [
+        t
+        for t, c in sorted(by_kind["cet"], key=lambda x: (-x[1], x[0] or ""))
+        if t is not None and t != "" and c > cet_floor
+    ]
+
+    if rel_tok_freq is None:
+        tf_total = sum(c for _, c in by_kind["tf"]) or 1
+        tf = spark.createDataFrame(
+            [(t, c / tf_total) for t, c in by_kind["tf"] if t is not None],
+            "token string, rel_freq double",
+        )
+    else:
+        tf_rows = rel_tok_freq.limit(max_side_rows + 1).collect()
+        if len(tf_rows) > max_side_rows:
+            raise ValueError(
+                f"build_side_tables: rel_tok_freq has more than "
+                f"{max_side_rows:,} rows — pre-aggregate or filter it "
+                "before passing, or raise max_side_rows explicitly."
+            )
+        tf = spark.createDataFrame(tf_rows, "token string, rel_freq double")
     return SideTables(rel_tok_freq=tf, numeric_tf=ntf, common_end_tokens=cet)
 
 
@@ -81,18 +175,23 @@ def link_addresses(
                 "before calling link_addresses: the linker overwrites it "
                 "with its own 'c_'/'m_' tags."
             )
-    cl = clean_addresses(canonical_flat, side.rel_tok_freq, side.common_end_tokens)
-    cr = clean_addresses(messy_flat, side.rel_tok_freq, side.common_end_tokens)
+    # clean BOTH sides in ONE job: a side-tagged union runs the cleaning
+    # queue once over all rows (one codegen compile, one stage wave, one
+    # materialisation) instead of two serial per-side jobs. The cleaned
+    # union feeds several DAG branches (blocking keys l/r, score attach
+    # l/r); without a materialisation barrier each branch re-runs the
+    # whole cleaning pipeline — the reference needed DuckDB temp tables
+    # here for the same reason (cleaning_pipelines.py:85-94)
+    tagged = canonical_flat.withColumn("__side", F.lit("c")).unionByName(
+        messy_flat.withColumn("__side", F.lit("m")), allowMissingColumns=True
+    )
+    cleaned = clean_addresses(tagged, side.rel_tok_freq, side.common_end_tokens)
     if checkpointer is not None:
-        cl = checkpointer.checkpoint(cl, "cleaned_canonical")
-        cr = checkpointer.checkpoint(cr, "cleaned_messy")
+        cleaned = checkpointer.checkpoint(cleaned, "cleaned_all")
     else:
-        # the cleaned tables feed several DAG branches (blocking keys l/r,
-        # score attach l/r); without a materialisation barrier each branch
-        # re-runs the whole cleaning pipeline — the reference needed DuckDB
-        # temp tables here for the same reason (cleaning_pipelines.py:85-94)
-        cl = cl.cache()
-        cr = cr.cache()
+        cleaned = cleaned.cache()
+    cl = cleaned.filter(F.col("__side") == "c").drop("__side")
+    cr = cleaned.filter(F.col("__side") == "m").drop("__side")
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
@@ -111,8 +210,10 @@ def link_addresses(
     )
     if checkpointer is not None:
         pred = checkpointer.checkpoint(pred, "predictions_pass1")
-    elif second_pass:
-        pred = pred.cache()  # consumed by 3 branches of the second pass
+    # no cache in the in-memory path: the second pass reads the
+    # predictions exactly once (its own per_pair cache covers the
+    # multi-branch reuse), so a pass-1 cache would only pay an extra
+    # 10^6-row encode for nothing
     if not second_pass:
         return _tag_source_datasets(pred)
     improved = improve_predictions_using_distinguishing_tokens(pred)

@@ -45,24 +45,30 @@ def hist_intersection_product(hl: Column, hr: Column) -> Column:
     rel_freq ^ min(cnt_l, cnt_r); 1.0 when no overlap.
 
     Reference: array_reduce_by_freq, training.py:323-357.
+
+    Histograms are ``array<struct<tok,cnt,rel_freq>>`` with distinct toks
+    per side (steps._histogram_arr): one aggregate over the left side with
+    a filter-probe into the right. Address histograms are short (<~15
+    entries), so the O(n_l * n_r) probe beats both the previous map
+    encoding (Spark map lookups are O(n) scans over UnsafeMapData, and map
+    columns are the expensive payload in every shuffle/encode) and a
+    concat + array_sort merge (measured 7.0s vs 9.1s per 3.7M pairs on
+    32 cores — the sort comparator costs more than the short probes).
     """
-    return F.aggregate(
-        F.map_entries(hl),
-        F.lit(1.0),
-        lambda acc, e: acc
-        * F.coalesce(
+
+    def body(e: Column) -> Column:
+        hit = F.try_element_at(
+            F.filter(hr, lambda y: y["tok"] == e["tok"]), F.lit(1)
+        )
+        return F.coalesce(
             F.when(
-                F.try_element_at(hr, e["key"]).isNotNull(),
-                F.pow(
-                    e["value"]["rel_freq"],
-                    F.least(
-                        e["value"]["cnt"], F.try_element_at(hr, e["key"])["cnt"]
-                    ).cast("double"),
-                ),
+                hit.isNotNull(),
+                F.pow(e["rel_freq"], F.least(e["cnt"], hit["cnt"]).cast("double")),
             ),
             F.lit(1.0),
-        ),
-    )
+        )
+
+    return F.aggregate(hl, F.lit(1.0), lambda acc, e: acc * body(e))
 
 
 def _tf_multiplier(u_level: float, tf_weight: float, tf_l: Column, tf_r: Column) -> Column:
@@ -361,7 +367,22 @@ def score_pairs(
     for name in bfs:
         term = F.log2(F.col(name))
         log_sum = term if log_sum is None else log_sum + term
-    df = df.withColumn("match_weight", F.lit(PRIOR_LOG2_ODDS) + log_sum)
+    # Pin the weight projection: CollapseProject + PushDownPredicate would
+    # otherwise inline the ENTIRE scoring expression tree into every
+    # downstream consumer — the threshold filter (which lands in the join
+    # condition), the match_weight output, and match_probability's two
+    # references — evaluating all 8 BF cascades 4x per pair (measured: 4
+    # copies of every comparison in the optimized plan). Adding
+    # ``0.0 * rand(seed)`` leaves the value bit-identical (0.0 * r is
+    # exactly 0.0 for r in [0,1)) but flags the column nondeterministic,
+    # which Catalyst refuses to collapse through or push filters below, so
+    # the kernel runs exactly once and consumers read the materialised
+    # column. (A boolean guard like ``rand() >= -1`` does NOT survive:
+    # Spark 4 folds out-of-range rand comparisons to literals.)
+    df = df.withColumn(
+        "match_weight",
+        F.lit(PRIOR_LOG2_ODDS) + log_sum + F.lit(0.0) * F.rand(7),
+    )
     df = df.withColumn(
         "match_probability",
         F.pow(F.lit(2.0), F.col("match_weight"))

@@ -130,7 +130,8 @@ def improve_predictions_using_distinguishing_tokens(
     # built from the UN-stripped l side
     # (identify_distinguishing_tokens.py:86-270).
     common_end = F.coalesce(
-        F.map_keys(F.col("common_end_tokens_hist_r")), F.array().cast("array<string>")
+        F.transform(F.col("common_end_tokens_hist_r"), lambda e: e["tok"]),
+        F.array().cast("array<string>"),
     )
     top = top.withColumn("__cet_r", common_end).withColumn(
         "addr_r_stripped",

@@ -881,27 +881,48 @@ FROM h ORDER BY doc_id
 """
 
 
+# 32-bit SimHash is the verified width (16 bits saturates: 500 docs
+# produced 11,051 Hamming-<=2 pairs; at 32 bits the pair count is sane).
+# 64-bit parity with standard deployments: q_simhash64_neardup below.
+_SIMHASH_BITS = 32
+
+
+def _simhash_fp_sql(nbits: int, hash_expr: str = "hs") -> str:
+    bits = []
+    for i in range(nbits):
+        bits.append(
+            f"(CASE WHEN 2 * len(list_filter({hash_expr}, h -> (h >> {i}) & 1 = 1))"
+            f" >= len({hash_expr}) THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return " + ".join(bits)
+
+
+def _simhash_bands(nbits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(lo, mask) per pigeonhole band — mirrors dedup.simhash_near_duplicates."""
+    n_bands = max_hamming + 1
+    w = nbits // n_bands
+    out = []
+    for j in range(n_bands):
+        lo = j * w
+        width = nbits - lo if j == n_bands - 1 else w
+        out.append((lo, (1 << width) - 1))
+    return out
+
+
 def _q_simhash(spark, sf_dir):
     from uk_address_matcher_spark.textops.dedup import simhash
 
     d = _read(spark, sf_dir, "documents")
-    return simhash(d, bits=16).orderBy("doc_id")
+    return simhash(d, bits=_SIMHASH_BITS).orderBy("doc_id")
 
 
 def _oracle_simhash() -> str:
-    bits = []
-    for i in range(16):
-        bits.append(
-            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) >= len(hs)"
-            f" THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
-        )
-    total = " + ".join(bits)
     return f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 h AS (SELECT doc_id,
        list_transform(toks, tk -> {_MD5INT_SQL.format(x='tk')}) AS hs
       FROM t)
-SELECT doc_id, {total} AS simhash FROM h ORDER BY doc_id
+SELECT doc_id, {_simhash_fp_sql(_SIMHASH_BITS)} AS simhash FROM h ORDER BY doc_id
 """
 
 
@@ -910,31 +931,24 @@ def _q_simhash_neardup(spark, sf_dir):
     from uk_address_matcher_spark.textops.dedup import simhash_near_duplicates
 
     d = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, bits=16, max_hamming=2).orderBy(
+    return simhash_near_duplicates(d, bits=_SIMHASH_BITS, max_hamming=2).orderBy(
         "doc_a", "doc_b"
     )
 
 
 def _oracle_simhash_neardup() -> str:
-    # same fingerprint construction as _oracle_simhash (16 bits), then the
-    # pigeonhole bands (5,5,6 bits), bucket self-join, popcount verify
-    bits = []
-    for i in range(16):
-        bits.append(
-            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) >= len(hs)"
-            f" THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
-        )
-    total = " + ".join(bits)
+    # same fingerprint construction as _oracle_simhash, then the pigeonhole
+    # bands, bucket self-join, popcount verify
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, fp, {j} AS band, (fp >> {lo}) & {mask} AS val FROM fps"
-        for j, (lo, mask) in enumerate([(0, 31), (5, 31), (10, 63)])
+        for j, (lo, mask) in enumerate(_simhash_bands(_SIMHASH_BITS, 2))
     )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 h AS (SELECT doc_id,
        list_transform(toks, tk -> {_MD5INT_SQL.format(x='tk')}) AS hs
       FROM t),
-fps AS (SELECT doc_id, {total} AS fp FROM h),
+fps AS (SELECT doc_id, {_simhash_fp_sql(_SIMHASH_BITS)} AS fp FROM h),
 buckets AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a, b.doc_id AS doc_b, b.fp AS fp_b
@@ -944,6 +958,61 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
 FROM cand
 WHERE bit_count(xor(fp_a, fp_b)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def _q_simhash64_neardup(spark, sf_dir):
+    """Full 64-bit SimHash (two 32-bit halves — BIGINT-safe in both Spark
+    and DuckDB) with pigeonhole banding across the logical 64 bits."""
+    from uk_address_matcher_spark.textops.dedup import simhash64_near_duplicates
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash64_near_duplicates(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _oracle_simhash64_neardup() -> str:
+    from uk_address_matcher_spark.textops.dedup import _bands64
+
+    # lo half hashes from md5 hex chars 1-8, hi half from 9-16 (the same
+    # derivation dedup.simhash64 uses)
+    hi_md5 = "('0x' || substring(md5({x}), 9, 8))::BIGINT"
+    band_exprs = []
+    for j, (start, width) in enumerate(_bands64(3)):
+        mask = (1 << width) - 1
+        if start >= 32:
+            val = f"(fp_hi >> {start - 32}) & {mask}"
+        elif start + width <= 32:
+            val = f"(fp_lo >> {start}) & {mask}"
+        else:
+            lo_w = 32 - start
+            hi_w = width - lo_w
+            val = f"((fp_lo >> {start}) | ((fp_hi & {(1 << hi_w) - 1}) << {lo_w})) & {mask}"
+        band_exprs.append(
+            f"SELECT doc_id, fp_hi, fp_lo, {j} AS band, {val} AS val FROM fps"
+        )
+    band_selects = "\nUNION ALL\n".join(band_exprs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id,
+       list_transform(toks, tk -> {_MD5INT_SQL.format(x='tk')}) AS hs_lo,
+       list_transform(toks, tk -> {hi_md5.format(x='tk')}) AS hs_hi
+      FROM t),
+fps AS (SELECT doc_id,
+        {_simhash_fp_sql(32, 'hs_lo')} AS fp_lo,
+        {_simhash_fp_sql(32, 'hs_hi')} AS fp_hi
+        FROM h),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.fp_hi AS hi_a, a.fp_lo AS lo_a,
+                  b.doc_id AS doc_b, b.fp_hi AS hi_b, b.fp_lo AS lo_b
+  FROM buckets a JOIN buckets b USING (band, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 ORDER BY doc_a, doc_b
 """
 
@@ -1055,21 +1124,45 @@ def _q_knn_lsh(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    # uncapped exact-replay baseline (max_bucket_size=None): kept so the
+    # fixed-plane candidate family stays oracle-verified; the SHIPPED
+    # configuration is _q_embedding_neardup_capped below
     from uk_address_matcher_spark.textops.similarity import embedding_near_duplicates
 
     e = _read(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        e, threshold=0.35, dim=64, n_bands=_LSH_BANDS, n_planes=_LSH_PLANES
+        e, threshold=0.35, dim=64, n_bands=_LSH_BANDS, n_planes=_LSH_PLANES,
+        max_bucket_size=None,
     ).orderBy("id_a", "id_b")
 
 
-def _lsh_sigs_sql() -> str:
+# the SHIPPED scale-safe ANN config, verified with the cap BITING:
+# n_planes = suggest_n_planes(500) = 2 at the sf0.01 gate corpus (the
+# documented derivation r = ceil(log2(n / target_bucket))), and
+# max_bucket_size=100 < the ~125-row average bucket at 2 planes, so the
+# oracle must replay the over-full-bucket anti-join to match.
+_LSH_CAP_PLANES, _LSH_CAP_MAX = 2, 100
+
+
+def _q_embedding_neardup_capped(spark, sf_dir):
+    from uk_address_matcher_spark.textops.similarity import embedding_near_duplicates
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        e, threshold=0.35, dim=64, n_bands=_LSH_BANDS, n_planes=_LSH_CAP_PLANES,
+        max_bucket_size=_LSH_CAP_MAX,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_sigs_sql(n_planes: int = None) -> str:
     """(vec_id, band, sig) CTE body: banded hyperplane signatures with the
     SAME md5-derived plane literals the Spark operator inlines — the
     oracle replays candidate generation exactly."""
     from uk_address_matcher_spark.textops.similarity import _planes
 
-    fams = _planes(64, _LSH_BANDS, _LSH_PLANES)
+    if n_planes is None:
+        n_planes = _LSH_PLANES
+    fams = _planes(64, _LSH_BANDS, n_planes)
     selects = []
     for b in range(_LSH_BANDS):
         bits = []
@@ -1119,6 +1212,35 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
                   b.vec_id AS id_b, b.embedding AS vb
   FROM sigs a JOIN sigs b USING (band, sig)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+  round({_DOT_SQL.format(a='va', b='vb')}
+    / (sqrt({_DOT_SQL.format(a='va', b='va')}) * sqrt({_DOT_SQL.format(a='vb', b='vb')})), 6) AS cos_sim
+FROM cand
+WHERE round({_DOT_SQL.format(a='va', b='vb')}
+    / (sqrt({_DOT_SQL.format(a='va', b='va')}) * sqrt({_DOT_SQL.format(a='vb', b='vb')})), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def _oracle_embedding_neardup_capped() -> str:
+    """Replays the SHIPPED capped config: same 12x{_LSH_CAP_PLANES}-plane
+    signatures, buckets over max_bucket_size anti-joined away BEFORE the
+    pair join — mirroring similarity.lsh_buckets exactly."""
+    return f"""
+WITH sigs AS ({_lsh_sigs_sql(_LSH_CAP_PLANES)}),
+kept AS (
+  SELECT s.* FROM sigs s
+  JOIN (
+    SELECT band, sig FROM sigs GROUP BY band, sig
+    HAVING count(*) <= {_LSH_CAP_MAX}
+  ) ok USING (band, sig)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
+                  b.vec_id AS id_b, b.embedding AS vb
+  FROM kept a JOIN kept b USING (band, sig)
   WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b,
@@ -1292,9 +1414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash": _q_simhash,
         "q_simhash_neardup": _q_simhash_neardup,
+        "q_simhash64_neardup": _q_simhash64_neardup,
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
         "q_embedding_neardup": _q_embedding_neardup,
+        "q_embedding_neardup_capped": _q_embedding_neardup_capped,
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
     }
@@ -1334,9 +1458,11 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash": _oracle_simhash(),
         "q_simhash_neardup": _oracle_simhash_neardup(),
+        "q_simhash64_neardup": _oracle_simhash64_neardup(),
         "q_knn_bruteforce": _ORACLE_KNN,
         "q_knn_lsh": _oracle_knn_lsh(),
         "q_embedding_neardup": _oracle_embedding_neardup(),
+        "q_embedding_neardup_capped": _oracle_embedding_neardup_capped(),
         "q_media_features": _oracle_media_features(),
         "q_media_frames": _oracle_media_frames(),
     }

@@ -80,6 +80,7 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()  # corpus generation outside the timer
 
+
     def link():
         side = build_side_tables(
             spark, canon, rel_tok_freq=domain_token_frequencies(spark)

@@ -92,3 +92,37 @@ def test_inspect_explicit_id(spark):
     )
     assert res.unique_id_r == "m1-0"
     assert res.cleaned_panel is None  # cleaned tables not passed
+
+
+def test_pair_evidence_waterfall(spark):
+    """pair_evidence returns the per-comparison BF ladder: prior first,
+    one row per comparison, cumulative log2 ending at match_weight."""
+    from uk_address_matcher_spark.corpus import domain_token_frequencies, edge_case_flat_rows
+    from uk_address_matcher_spark.blocking import block_on
+    from uk_address_matcher_spark.inspect import pair_evidence
+    from uk_address_matcher_spark.linkage import build_side_tables
+    from uk_address_matcher_spark.cleaning import clean_addresses
+    from uk_address_matcher_spark.scoring import predict
+    from pyspark.sql import functions as F
+
+    rows, _ = edge_case_flat_rows()
+    flat = spark.createDataFrame(
+        rows,
+        "unique_id string, address_concat string, postcode string, "
+        "side string, test_block int",
+    )
+    side = build_side_tables(
+        spark, flat.drop("side", "test_block"), common_end_min_share=0.05,
+        rel_tok_freq=domain_token_frequencies(spark),
+    )
+    canon = flat.filter(F.col("side") == "c").drop("side")
+    messy = flat.filter(F.col("side") == "m").drop("side")
+    cl = clean_addresses(canon, side.rel_tok_freq, side.common_end_tokens).cache()
+    cr = clean_addresses(messy, side.rel_tok_freq, side.common_end_tokens).cache()
+    pred = predict(cl, cr, side.numeric_tf, rules=block_on(["test_block"]), retain_bf=True)
+    one = pred.limit(1).collect()[0]
+    ev = pair_evidence(pred, one["unique_id_l"], one["unique_id_r"]).collect()
+    assert ev[0]["comparison"] == "prior"
+    assert len(ev) == 9  # prior + 8 comparisons
+    assert [r["seq"] for r in ev] == list(range(9))
+    assert abs(ev[-1]["cumulative_log2"] - one["match_weight"]) < 1e-9

@@ -100,3 +100,18 @@ def test_span_invariant_survives_pipeline(spark, edge_run):
         .count()
         == 0
     )
+
+
+def test_side_table_collect_guard(spark):
+    """build_side_tables fails LOUDLY (naming the fix) instead of
+    collecting an unbounded vocabulary onto the driver."""
+    import pytest
+
+    from uk_address_matcher_spark.linkage import build_side_tables
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"{i} TOK{i} STREET{i % 7}", "AA1 1AA") for i in range(300)],
+        "unique_id string, address_concat string, postcode string",
+    )
+    with pytest.raises(ValueError, match="pre-aggregated TF table|rel_tok_freq"):
+        build_side_tables(spark, df, max_side_rows=50)

@@ -105,3 +105,38 @@ def test_write_addresses_parquet_roundtrip(spark, tmp_path):
     assert back.count() == 2
     assert set(back.columns) == {"unique_id", "address_concat", "postcode"}
     assert back.filter(F.col("unique_id") == "k1").count() == 1
+
+
+def test_sample_addresses_deterministic(spark):
+    from uk_address_matcher_spark.sources import sample_addresses
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"{i} HIGH STREET", "AA1 1AA") for i in range(200)],
+        "unique_id string, address_concat string, postcode string",
+    )
+    a = [r["unique_id"] for r in sample_addresses(df, 10, seed=7).collect()]
+    b = [r["unique_id"] for r in sample_addresses(df, 10, seed=7).collect()]
+    c = [r["unique_id"] for r in sample_addresses(df, 10, seed=8).collect()]
+    assert a == b  # same seed -> same records, same order
+    assert set(a) != set(c)  # different seed -> different sample
+    assert len(a) == 10
+
+
+def test_repartition_by_postcode_locality(spark):
+    from uk_address_matcher_spark.sources import repartition_by_postcode_locality
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"{i} HIGH STREET", f"{'ABCD'[i % 4]}A{i % 9} {i % 9}XX") for i in range(400)],
+        "unique_id string, address_concat string, postcode string",
+    )
+    rp = repartition_by_postcode_locality(df, 4)
+    assert rp.rdd.getNumPartitions() == 4
+    # range partitioning: each postcode lands in exactly one partition
+    from pyspark.sql import functions as F
+    spread = (
+        rp.withColumn("pid", F.spark_partition_id())
+        .groupBy("postcode").agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert spread == 1
+    assert rp.count() == 400

@@ -94,6 +94,52 @@ def test_stream_link_microbatch(spark, tmp_path):
     assert pred.select("unique_id_r").distinct().count() > 10
 
 
+def test_stream_link_cleans_canonical_once(spark, tmp_path, monkeypatch):
+    """The static canonical side is cleaned OUTSIDE the micro-batch loop:
+    across N batches, clean_addresses runs once for the canonical table
+    plus once per batch for the incoming rows — never N times for the
+    canonical side. Also covers idempotent batch_id-keyed output."""
+    import uk_address_matcher_spark.streaming as streaming_mod
+
+    rows, _ = edge_case_flat_rows()
+    flat = spark.createDataFrame(
+        rows,
+        "unique_id string, address_concat string, postcode string, "
+        "side string, test_block int",
+    )
+    canon = flat.filter(F.col("side") == "c").drop("side", "test_block")
+    messy = flat.filter(F.col("side") == "m").drop("side", "test_block")
+    side = _side(spark, flat.drop("side", "test_block"))
+
+    in_dir = str(tmp_path / "landing_multi")
+    # two files -> maxFilesPerTrigger=1 forces (at least) two micro-batches
+    messy.limit(5).coalesce(1).write.mode("overwrite").parquet(in_dir + "/a")
+    messy.subtract(messy.limit(5)).coalesce(1).write.mode("append").parquet(in_dir + "/a")
+
+    calls = []
+    real_clean = streaming_mod.clean_addresses
+
+    def counting_clean(df, *args, **kwargs):
+        calls.append(df)
+        return real_clean(df, *args, **kwargs)
+
+    monkeypatch.setattr(streaming_mod, "clean_addresses", counting_clean)
+
+    stream = read_address_stream(spark, in_dir + "/a", max_files_per_trigger=1)
+    q = stream_link_addresses(
+        stream, canon, side, str(tmp_path / "pred2"), str(tmp_path / "ckpt3"),
+        rules=None, threshold_match_weight=-50,
+    )
+    _await(q)
+
+    pred = spark.read.parquet(str(tmp_path / "pred2"))
+    n_batches = pred.select("batch_id").distinct().count()
+    assert n_batches >= 2, "expected multiple micro-batches"
+    # 1 canonical clean + 1 per non-empty batch
+    assert len(calls) == 1 + n_batches
+    assert calls[0] is canon
+
+
 def test_arrival_stats_plan_is_streaming(spark, tmp_path):
     flat = spark.createDataFrame(
         _flat_rows(), "unique_id string, address_concat string, postcode string"

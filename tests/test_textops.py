@@ -152,3 +152,57 @@ def test_simhash_neardup_matches_bruteforce(spark, docs):
         for r in D.simhash_near_duplicates(docs, bits=16, max_hamming=2).collect()
     }
     assert got == want
+
+
+def test_simhash64_neardup_matches_bruteforce(spark, docs):
+    """64-bit simhash (two 32-bit halves): banding across the logical 64
+    bits finds exactly the brute-force Hamming-<=k pairs."""
+    import itertools
+
+    fps = {
+        r["doc_id"]: (r["fp_hi"] << 32) | r["fp_lo"]
+        for r in D.simhash64(docs).collect()
+    }
+    for v in fps.values():
+        assert 0 <= v < (1 << 64)
+    k = 3
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= k
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash64_near_duplicates(docs, max_hamming=k).collect()
+    }
+    assert got == want
+
+
+def test_simhash32_pair_count_sane(spark):
+    """At 32 bits the fingerprint space is not saturated: distinct-content
+    docs do not collapse into Hamming-<=2 pairs the way 16-bit
+    fingerprints did (the round-2 16-bit config produced 11,051 pairs
+    from 500 docs)."""
+    rows = [(f"d{i}", f"document number {i} about topic {i % 7} item {i*13%101}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    n16 = D.simhash_near_duplicates(df, bits=16, max_hamming=2).count()
+    n32 = D.simhash_near_duplicates(df, bits=32, max_hamming=2).count()
+    assert n32 <= n16
+    assert n32 < 60  # far below the all-pairs 1770
+
+
+def test_lsh_suggest_planes_and_cap(spark):
+    assert S.suggest_n_planes(500, target_bucket=200) == 2
+    assert S.suggest_n_planes(1_000_000, target_bucket=200) == 13
+    assert S.suggest_n_planes(1, target_bucket=200) == 1
+    # capped near-dup drops over-full buckets but still returns verified pairs
+    rows = []
+    for i in range(40):
+        base = [((i * 31 + d * 7) % 13 - 6) / 6.0 for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    uncapped = S.embedding_near_duplicates(e, threshold=0.9, dim=8, n_bands=4, n_planes=2, max_bucket_size=None)
+    capped = S.embedding_near_duplicates(e, threshold=0.9, dim=8, n_bands=4, n_planes=2, max_bucket_size=5)
+    u = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert c <= u  # the cap only removes candidates, never invents pairs

@@ -104,9 +104,16 @@ JSON: `{json.dumps({"low_4": lo4, "high_16": hi16, "efficiency_4_16": eff4, "low
 
 
 if __name__ == "__main__":
-    run8v32 = json.loads(open(sys.argv[1]).read()) if len(sys.argv) > 1 else None
-    run4v16 = json.load(open("/tmp/full416.json"))
-    md = main(run8v32, run4v16, kernel416_eff=0.608)
+    # round-3 inputs: tools/scaling_bench.py 500000 4 16 (SCALING_KERNEL=0),
+    # tools/scaling_bench.py 500000 8 32, and SCALING_ONLY_KERNEL=1
+    # tools/scaling_bench.py 250000 4 16
+    run8v32 = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_8v32.json"))
+    run4v16 = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_4v16.json"))
+    try:
+        k416 = json.load(open("/tmp/kernel_4v16.json"))["kernel_efficiency"]
+    except Exception:
+        k416 = 0.608  # round-2 measurement
+    md = main(run8v32, run4v16, kernel416_eff=k416)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print("written")

@@ -125,10 +125,32 @@ def main():
     # before the first JVM launch (driver memory is fixed for the process)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_N", "150000"))
-    lo = run_level(8, n)
-    hi = run_level(32, n)
-    klo = run_kernel(8, max(n // 2, 10000))
-    khi = run_kernel(32, max(n // 2, 10000))
+    lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    kernel = os.environ.get("SCALING_KERNEL", "1") == "1"
+    if os.environ.get("SCALING_ONLY_KERNEL", "0") == "1":
+        klo = run_kernel(lo_cpus, n)
+        khi = run_kernel(hi_cpus, n)
+        assert klo["n_scored"] == khi["n_scored"]
+        keff = round((klo["seconds"] / khi["seconds"]) / 4.0, 3)
+        out = {"kernel_low": klo, "kernel_high": khi, "kernel_efficiency": keff}
+        with open(f"/tmp/kernel_{lo_cpus}v{hi_cpus}.json", "w") as f:
+            json.dump(out, f)
+        print(json.dumps(out))
+        return
+    lo = run_level(lo_cpus, n)
+    hi = run_level(hi_cpus, n)
+    if not kernel:
+        assert lo["n_predictions"] == hi["n_predictions"], "parallelism changed results!"
+        assert lo["n_cluster_rows"] == hi["n_cluster_rows"], "parallelism changed results!"
+        eff = round((lo["seconds"] / hi["seconds"]) / 4.0, 3)
+        out = {"low": lo, "high": hi, "efficiency": eff}
+        with open(f"/tmp/scale_{lo_cpus}v{hi_cpus}.json", "w") as f:
+            json.dump(out, f)
+        print(json.dumps(out))
+        return
+    klo = run_kernel(lo_cpus, max(n // 2, 10000))
+    khi = run_kernel(hi_cpus, max(n // 2, 10000))
     assert klo["n_scored"] == khi["n_scored"]
     keff = round((klo["seconds"] / khi["seconds"]) / 4.0, 3)
     assert lo["n_predictions"] == hi["n_predictions"], "parallelism changed results!"
@@ -174,7 +196,10 @@ JSON: `{json.dumps({"low": lo, "high": hi, "efficiency": eff, "kernel_low": klo,
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps({"low": lo, "high": hi, "efficiency": eff, "kernel_low": klo, "kernel_high": khi, "kernel_efficiency": keff}))
+    out = {"low": lo, "high": hi, "efficiency": eff, "kernel_low": klo, "kernel_high": khi, "kernel_efficiency": keff}
+    with open(f"/tmp/scale_{lo_cpus}v{hi_cpus}.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

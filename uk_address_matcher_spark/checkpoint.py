@@ -91,24 +91,55 @@ class CheckpointManager:
             "complete": True,
         }
         if self.collect_metrics:
-            # per-partition row counts: lineage metric for skew diagnosis
-            parts = (
-                out.groupBy(F.spark_partition_id().alias("pid"))
-                .count()
-                .agg(
-                    F.count("*").alias("n_partitions"),
-                    F.sum("count").alias("n_rows"),
-                    F.max("count").alias("max_partition_rows"),
-                    F.min("count").alias("min_partition_rows"),
-                )
-                .collect()[0]
-            )
-            entry["metrics"] = {
-                "n_rows": int(parts["n_rows"] or 0),
-                "n_partitions": int(parts["n_partitions"] or 0),
-                "max_partition_rows": int(parts["max_partition_rows"] or 0),
-                "min_partition_rows": int(parts["min_partition_rows"] or 0),
-            }
+            entry["metrics"] = self._metrics(out, name)
         self.manifest["passes"][name] = entry
         self._save_manifest()
         return out
+
+    def _metrics(self, out: DataFrame, name: str) -> dict:
+        """Per-partition row counts: lineage metric for skew diagnosis.
+
+        For local parquet checkpoints the numbers come straight from the
+        parquet FOOTERS (one file per write partition) — metadata-only,
+        no Spark job. An extra full scan per pass is pure fixed latency
+        that never shrinks with executor count, which is exactly what
+        scaling efficiency loses to. Non-local / non-parquet storage
+        falls back to one aggregation scan.
+        """
+        path = self._path(name)
+        if self.table_format == "parquet" and os.path.isdir(path):
+            try:
+                import glob
+
+                import pyarrow.parquet as pq
+
+                counts = [
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(os.path.join(path, "part-*"))
+                ]
+                if counts:
+                    return {
+                        "n_rows": int(sum(counts)),
+                        "n_partitions": len(counts),
+                        "max_partition_rows": int(max(counts)),
+                        "min_partition_rows": int(min(counts)),
+                    }
+            except Exception:
+                pass
+        parts = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.count("*").alias("n_partitions"),
+                F.sum("count").alias("n_rows"),
+                F.max("count").alias("max_partition_rows"),
+                F.min("count").alias("min_partition_rows"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_rows": int(parts["n_rows"] or 0),
+            "n_partitions": int(parts["n_partitions"] or 0),
+            "max_partition_rows": int(parts["max_partition_rows"] or 0),
+            "min_partition_rows": int(parts["min_partition_rows"] or 0),
+        }

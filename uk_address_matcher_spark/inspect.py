@@ -4,9 +4,10 @@ inspect_match_results_vs_labels (post_linkage/accuracy_from_labels.py:30-291).
 Differences from the reference, by design:
  - returns structured results (report string + DataFrames) instead of
    printing + notebook display(), so it is testable and usable headless;
- - the Splink waterfall charts are out of scope (visualisation of
-   Splink-internal comparison vectors); the per-comparison evidence is
-   available via score_pairs(retain_bf=True) instead.
+ - the Splink waterfall CHART (an altair visualisation,
+   accuracy_from_labels.py:227-244) is replaced by :func:`pair_evidence`,
+   which returns the chart's underlying data — the per-comparison Bayes
+   factor / log2 contribution ladder for one pair — as a DataFrame.
 """
 
 from __future__ import annotations
@@ -36,6 +37,55 @@ class InspectionResult:
     report: str
     top_matches: DataFrame  # top-10 panel with correctness marker
     cleaned_panel: DataFrame | None  # messy / best / true cleaned rows
+
+
+def pair_evidence(
+    df_predict_bf: DataFrame, unique_id_l: str, unique_id_r: str
+) -> DataFrame:
+    """Waterfall-style evidence for ONE pair: (seq, comparison,
+    bayes_factor, log2_contribution, cumulative_log2) — the data behind
+    the reference's Splink waterfall chart (accuracy_from_labels.py:227-244).
+
+    ``df_predict_bf`` must come from score_pairs/predict with
+    ``retain_bf=True`` (the bf_* columns carry each comparison's matched
+    Bayes factor, TF adjustment included). Row 0 is the prior; the last
+    cumulative_log2 equals the pair's match_weight.
+    """
+    from uk_address_matcher_spark.scoring import PRIOR_LOG2_ODDS
+
+    bf_cols = [c for c in df_predict_bf.columns if c.startswith("bf_")]
+    if not bf_cols:
+        raise ValueError(
+            "pair_evidence needs bf_* columns — score with retain_bf=True"
+        )
+    row = df_predict_bf.filter(
+        (F.col("unique_id_l") == unique_id_l)
+        & (F.col("unique_id_r") == unique_id_r)
+    )
+    stack_args = ", ".join(
+        f"'{c[3:]}', cast({c} as double)" for c in bf_cols
+    )
+    terms = row.select(
+        F.expr(
+            f"stack({len(bf_cols)}, {stack_args}) as (comparison, bayes_factor)"
+        )
+    ).withColumn("log2_contribution", F.log2("bayes_factor"))
+    prior = row.sparkSession.createDataFrame(
+        [("prior", float(2.0**PRIOR_LOG2_ODDS), float(PRIOR_LOG2_ODDS))],
+        "comparison string, bayes_factor double, log2_contribution double",
+    )
+    order_lits = []
+    for i, name in enumerate(["prior"] + [c[3:] for c in bf_cols]):
+        order_lits += [F.lit(name), F.lit(i)]
+    ev = prior.unionByName(terms).withColumn(
+        "seq", F.element_at(F.create_map(*order_lits), F.col("comparison"))
+    )
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("cumulative_log2", F.sum("log2_contribution").over(w))
+        .select("seq", "comparison", "bayes_factor", "log2_contribution", "cumulative_log2")
+        .orderBy("seq")
+    )
 
 
 def find_nth_false_positive(
@@ -115,6 +165,7 @@ def inspect_match_results_vs_labels(
         .collect()
     )
     if not best:
+        improved.unpersist()
         return None
     b = best[0].asDict()
 
@@ -194,6 +245,10 @@ def inspect_match_results_vs_labels(
             panel = panel.unionByName(p)
         cleaned_panel = panel
 
+    # release the drill-down cache before returning (repeated inspection
+    # calls would otherwise leak executor storage); top_matches is lazy and
+    # recomputes its one-record filter from lineage if materialised later
+    improved.unpersist()
     return InspectionResult(
         unique_id_r=target,
         report=report,

@@ -159,9 +159,16 @@ def link_addresses(
     threshold_match_weight: float = -50.0,
     second_pass: bool = True,
     checkpointer=None,
+    postcode_locality: bool = False,
 ) -> DataFrame:
     """Full two-pass linkage. ``checkpointer`` (optional,
     checkpoint.CheckpointManager) persists each pass for lineage/resume.
+
+    ``postcode_locality=True`` range-partitions the input by postcode
+    before cleaning (the reference's ORDER BY postcode ingest guidance,
+    readme.md:52-53): rows that will block together are co-located, so
+    the blocking exchange moves mostly-local data. Off by default —
+    worthwhile when the input arrives in postcode-random order at scale.
 
     source_dataset contract (reference splink_model.py:38-46 +
     tests/test_source_dataset.py:74-87): inputs must NOT carry a
@@ -185,13 +192,53 @@ def link_addresses(
     tagged = canonical_flat.withColumn("__side", F.lit("c")).unionByName(
         messy_flat.withColumn("__side", F.lit("m")), allowMissingColumns=True
     )
+    if postcode_locality:
+        from uk_address_matcher_spark.sources import (
+            repartition_by_postcode_locality,
+        )
+
+        tagged = repartition_by_postcode_locality(tagged)
     cleaned = clean_addresses(tagged, side.rel_tok_freq, side.common_end_tokens)
     if checkpointer is not None:
         cleaned = checkpointer.checkpoint(cleaned, "cleaned_all")
     else:
         cleaned = cleaned.cache()
+        # materialise the cache NOW: its consumers (per-rule blocking-key
+        # branches, both score-attach sides) otherwise race to fill it
+        # inside one job, each branch recomputing the cleaning pipeline
+        cleaned.count()
     cl = cleaned.filter(F.col("__side") == "c").drop("__side")
     cr = cleaned.filter(F.col("__side") == "m").drop("__side")
+    return link_cleaned(
+        cl,
+        cr,
+        side,
+        rules=rules,
+        salt=salt,
+        threshold_match_weight=threshold_match_weight,
+        second_pass=second_pass,
+        checkpointer=checkpointer,
+    )
+
+
+def link_cleaned(
+    cl: DataFrame,
+    cr: DataFrame,
+    side: SideTables,
+    rules=None,
+    salt: int = 1,
+    threshold_match_weight: float = -50.0,
+    second_pass: bool = True,
+    checkpointer=None,
+) -> DataFrame:
+    """block + score + rescore over ALREADY-CLEANED sides.
+
+    For callers that reuse one cleaned side across many linkage calls —
+    the streaming micro-batch loop cleans the static canonical table once
+    and links every batch against it (streaming.stream_link_addresses).
+    ``cl``/``cr`` must be materialised (cached or checkpointed) by the
+    caller; each feeds multiple plan branches here.
+    """
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")

@@ -321,7 +321,10 @@ def score_pairs(
     name (splink_model.py:36): False drops the compared attribute columns
     from the OUTPUT (they are still read for scoring), keeping only ids,
     weights, the address/postcode pair, and common_end_tokens_hist_r (the
-    second pass's inputs). Materialising the full frame costs real time —
+    second pass's inputs). When True, the retained
+    ``token_rel_freq_arr_hist_*`` columns carry the PACKED form
+    (xxhash64(tok) keys — see _pack below); read token text from the
+    cleaned tables if needed. Materialising the full frame costs real time —
     the token-histogram maps dominate the parquet encode of a pass-1
     checkpoint — so drop them when only the second pass consumes the
     output.
@@ -343,8 +346,35 @@ def score_pairs(
     ]
     keep_l = [c for c in cleaned_l.columns if c in scoring_cols]
     keep_r = [c for c in cleaned_r.columns if c in scoring_cols]
-    left = _suffix(cleaned_l.select(keep_l), "_l")
-    right = _suffix(cleaned_r.select(keep_r), "_r")
+
+    # pack the token histogram for the pair shuffle: tok -> xxhash64(tok).
+    # The intersection only needs EQUALITY of tokens, and the hist rides
+    # every wide attach exchange (the dominant payload: measured 4x
+    # executor-CPU inflation of the attach stage at 16 vs 4 cores on one
+    # socket — wide string-bearing rows saturate memory bandwidth long
+    # before narrow ones do). A fixed-width (long, long, double) entry
+    # halves the bytes and turns the probe comparisons into long equality.
+    # Collision odds for two distinct tokens inside one pair's ~30-token
+    # vocabulary are ~2^-59 — no behavioural change. common_end_tokens_hist
+    # stays string-keyed: the second pass strips literal trailing TOKENS
+    # from it, and it is 1-3 entries.
+    def _pack(df: DataFrame) -> DataFrame:
+        if "token_rel_freq_arr_hist" not in df.columns:
+            return df
+        return df.withColumn(
+            "token_rel_freq_arr_hist",
+            F.transform(
+                F.col("token_rel_freq_arr_hist"),
+                lambda e: F.struct(
+                    F.xxhash64(e["tok"]).alias("tok"),
+                    e["cnt"].alias("cnt"),
+                    e["rel_freq"].alias("rel_freq"),
+                ),
+            ),
+        )
+
+    left = _suffix(_pack(cleaned_l.select(keep_l)), "_l")
+    right = _suffix(_pack(cleaned_r.select(keep_r)), "_r")
     # shuffle-hash: sort-merge would sort 10^6-10^9 wide (map-carrying)
     # rows per side; hashing the (small) cleaned side is strictly cheaper
     df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(

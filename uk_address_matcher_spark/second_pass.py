@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from uk_address_matcher_spark.cleaning.steps import let
+from uk_address_matcher_spark.cleaning.steps import let, pin
 
 REWARD_MULTIPLIER = 3.0
 PUNISHMENT_MULTIPLIER = 1.5
@@ -138,7 +138,16 @@ def improve_predictions_using_distinguishing_tokens(
         _strip_common_end(F.col("original_address_concat_r"), F.col("__cet_r")),
     )
 
-    # Step 4-5: per-block aggregates keyed by unique_id_r
+    # Step 4-5: per-block aggregates keyed by unique_id_r. The block
+    # histograms are computed ONCE PER BLOCK in the groupBy branch (a
+    # window formulation would recompute them once per member row —
+    # measured as the second-heaviest CPU stage in the pipeline and the
+    # worst memory-bandwidth inflator at high parallelism). per_pair is
+    # cached AND materialised (count) before fan-out: its two consumers
+    # (the groupBy branch and the join-back) would otherwise race to fill
+    # the cache inside one job, each recomputing the whole upstream
+    # scoring pipeline. The groupBy and join share the top-n window's
+    # unique_id_r hash partitioning, so neither adds an exchange.
     per_pair = top.select(
         "unique_id_r",
         "unique_id_l",
@@ -150,7 +159,8 @@ def improve_predictions_using_distinguishing_tokens(
         F.col("postcode_r"),
         _tokenise(F.col("original_address_concat_l"), F.col("postcode_l")).alias("tokens_l"),
         _tokenise(F.col("addr_r_stripped"), F.col("postcode_r")).alias("tokens_r"),
-    ).cache()  # feeds both the block-aggregate branch and the pair join
+    ).cache()
+    per_pair.count()
 
     block_aggs = (
         per_pair.groupBy("unique_id_r")
@@ -167,16 +177,17 @@ def improve_predictions_using_distinguishing_tokens(
         )
         .select(
             "unique_id_r",
-            "tokens_r",
-            _hist(F.col("tokens_in_block_l")).alias("hist_all_tokens_in_block_l"),
-            _hist(_bigrams(F.col("tokens_in_block_l"))).alias(
+            pin(_hist(F.col("tokens_in_block_l")), 11).alias(
+                "hist_all_tokens_in_block_l"
+            ),
+            pin(_hist(_bigrams(F.col("tokens_in_block_l"))), 12).alias(
                 "hist_all_bigrams_in_block_l"
             ),
-            _bigrams(F.col("tokens_r")).alias("bigrams_r"),
+            pin(_bigrams(F.col("tokens_r")), 20).alias("bigrams_r"),
+            "tokens_r",
         )
         .select(
             "unique_id_r",
-            "tokens_r",
             "bigrams_r",
             "hist_all_tokens_in_block_l",
             "hist_all_bigrams_in_block_l",
@@ -188,42 +199,60 @@ def improve_predictions_using_distinguishing_tokens(
             ).alias("hist_overlapping_bigrams_r_block_l"),
         )
     )
+    df = per_pair.join(block_aggs, "unique_id_r")
 
-    # Step 6: per-pair intermediates
-    df = per_pair.drop("tokens_r").join(block_aggs, "unique_id_r")
-    df = df.withColumn("bigrams_l", _bigrams(F.col("tokens_l")))
+    # Step 6: per-pair intermediates. Every map/array column below is
+    # consumed by several later expressions — some inside HOF lambdas,
+    # where an inlined definition would re-evaluate per ELEMENT — so each
+    # is pinned (computed once per row, referenced thereafter).
+    df = df.withColumn("bigrams_l", pin(_bigrams(F.col("tokens_l")), 21))
     df = (
         df.withColumn(
             "overlapping_tokens_this_l_and_r",
-            _filter_map_keys(
-                F.col("hist_overlapping_tokens_r_block_l"), F.col("tokens_l")
+            pin(
+                _filter_map_keys(
+                    F.col("hist_overlapping_tokens_r_block_l"), F.col("tokens_l")
+                ),
+                13,
             ),
         )
         .withColumn(
             "tokens_r_not_in_l",
-            F.filter(
-                F.col("tokens_r"),
-                lambda t: ~F.array_contains(F.col("tokens_l"), t),
+            pin(
+                F.filter(
+                    F.col("tokens_r"),
+                    lambda t: ~F.array_contains(F.col("tokens_l"), t),
+                ),
+                22,
             ),
         )
         .withColumn(
             "missing_tokens",
-            F.filter(
-                F.col("tokens_l"),
-                lambda t: ~F.array_contains(F.col("tokens_r"), t),
+            pin(
+                F.filter(
+                    F.col("tokens_l"),
+                    lambda t: ~F.array_contains(F.col("tokens_r"), t),
+                ),
+                23,
             ),
         )
         .withColumn(
             "overlapping_bigrams_this_l_and_r",
-            _filter_map_keys(
-                F.col("hist_overlapping_bigrams_r_block_l"), F.col("bigrams_l")
+            pin(
+                _filter_map_keys(
+                    F.col("hist_overlapping_bigrams_r_block_l"), F.col("bigrams_l")
+                ),
+                15,
             ),
         )
         .withColumn(
             "bigrams_r_not_in_l",
-            F.filter(
-                F.col("bigrams_r"),
-                lambda b: ~F.array_contains(F.col("bigrams_l"), b),
+            pin(
+                F.filter(
+                    F.col("bigrams_r"),
+                    lambda b: ~F.array_contains(F.col("bigrams_l"), b),
+                ),
+                24,
             ),
         )
     )
@@ -231,10 +260,20 @@ def improve_predictions_using_distinguishing_tokens(
     # Step 7: elsewhere-in-block maps + unigram-explained bigram filtering
     df = df.withColumn(
         "tokens_elsewhere_in_block_but_not_this",
-        _filter_map_keys(F.col("hist_all_tokens_in_block_l"), F.col("tokens_r_not_in_l")),
+        pin(
+            _filter_map_keys(
+                F.col("hist_all_tokens_in_block_l"), F.col("tokens_r_not_in_l")
+            ),
+            14,
+        ),
     ).withColumn(
         "bigrams_elsewhere_in_block_but_not_this",
-        _filter_map_keys(F.col("hist_all_bigrams_in_block_l"), F.col("bigrams_r_not_in_l")),
+        pin(
+            _filter_map_keys(
+                F.col("hist_all_bigrams_in_block_l"), F.col("bigrams_r_not_in_l")
+            ),
+            16,
+        ),
     )
 
     def bigram_not_explained(unigram_map: Column):
@@ -254,19 +293,25 @@ def improve_predictions_using_distinguishing_tokens(
 
     df = df.withColumn(
         "overlapping_bigrams_this_l_and_r_filtered",
-        F.map_from_entries(
-            F.filter(
-                F.map_entries(F.col("overlapping_bigrams_this_l_and_r")),
-                bigram_not_explained(F.col("overlapping_tokens_this_l_and_r")),
-            )
+        pin(
+            F.map_from_entries(
+                F.filter(
+                    F.map_entries(F.col("overlapping_bigrams_this_l_and_r")),
+                    bigram_not_explained(F.col("overlapping_tokens_this_l_and_r")),
+                )
+            ),
+            17,
         ),
     ).withColumn(
         "bigrams_elsewhere_in_block_but_not_this_filtered",
-        F.map_from_entries(
-            F.filter(
-                F.map_entries(F.col("bigrams_elsewhere_in_block_but_not_this")),
-                bigram_not_explained(F.col("tokens_elsewhere_in_block_but_not_this")),
-            )
+        pin(
+            F.map_from_entries(
+                F.filter(
+                    F.map_entries(F.col("bigrams_elsewhere_in_block_but_not_this")),
+                    bigram_not_explained(F.col("tokens_elsewhere_in_block_but_not_this")),
+                )
+            ),
+            18,
         ),
     )
 
@@ -287,7 +332,7 @@ def improve_predictions_using_distinguishing_tokens(
         )
 
     return (
-        df.withColumn("mw_adjustment", adj)
+        df.withColumn("mw_adjustment", pin(adj, 19))
         .withColumnRenamed("match_weight", "match_weight_original")
         .withColumn(
             "match_weight", F.col("match_weight_original") + F.col("mw_adjustment")

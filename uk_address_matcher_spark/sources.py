@@ -67,7 +67,10 @@ def read_addresses_json(
     the path expressions are column references, not string parsing.
 
     row_number here runs over a global window ONLY to reproduce the
-    reference's id scheme; for 100-TB ingestion prefer
+    reference's id scheme; it is ordered by company_number (a stable
+    business key), so the SAME record gets the SAME unique_id on every
+    re-ingestion at any partitioning — joins against previously ingested
+    outputs stay valid. For 100-TB ingestion prefer
     monotonically_increasing_id (per-partition, no single-reducer
     window) and pass ids through instead.
     """
@@ -85,7 +88,7 @@ def read_addresses_json(
     ).filter(F.col("country").isin(UK_COUNTRIES) | F.col("country").isNull())
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.lit(1))
+    w = Window.orderBy("company_number")
     return picked.withColumn("__rn", F.row_number().over(w)).select(
         F.concat(F.lit(f"{file_identifier}_"), F.col("__rn").cast("string")).alias(
             "unique_id"
@@ -101,3 +104,26 @@ def write_addresses_parquet(df: DataFrame, path: str, compression: str = "zstd")
     """COPY ... TO (FORMAT parquet, COMPRESSION zstd) equivalent
     (generate_better_tfs.py:78-82)."""
     df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
+def sample_addresses(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic random sample of ``n`` rows — the reference's
+    `ORDER BY random() LIMIT n` workflow (examples/fhrs/match_fhrs_to_os.py:41-42,
+    scripts/epc_accuracy_from_labels.py:34) with a seed so reruns pick the
+    SAME records: the order key is rand(seed), which Spark evaluates
+    deterministically per row for a fixed partitioning; tie-broken by the
+    row's own id-ish first column is unnecessary since rand collisions are
+    measure-zero at double precision."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def repartition_by_postcode_locality(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-partition a flat address table by postcode so records that
+    block together are physically co-located (the reference's `ORDER BY
+    postcode` ingest guidance, readme.md:52-53 +
+    examples/example_matching.py:42-43): blocking keys are postcode-prefixed,
+    so range partitioning turns the blocking shuffle into mostly-local
+    exchanges and gives parquet writers run-length-friendly postcode runs."""
+    if num_partitions is not None:
+        return df.repartitionByRange(num_partitions, "postcode")
+    return df.repartitionByRange("postcode")

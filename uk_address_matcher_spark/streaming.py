@@ -77,25 +77,53 @@ def stream_link_addresses(
     threshold_match_weight: float = -50.0,
 ):
     """Micro-batch linkage: each trigger's messy rows are linked against
-    the static canonical table with the full two-pass batch pipeline and
-    appended to ``output_dir``. foreachBatch is the supported idiom for
-    plans (blocking joins, windows, groupBys) that Structured Streaming
-    cannot run incrementally."""
-    from uk_address_matcher_spark.linkage import link_addresses
+    the static canonical table with the full two-pass batch pipeline.
+    foreachBatch is the supported idiom for plans (blocking joins,
+    windows, groupBys) that Structured Streaming cannot run incrementally.
+
+    Scale/correctness properties:
+     - the canonical side is cleaned and cached ONCE, outside the batch
+       loop — per-trigger work is proportional to the batch, not to the
+       static table (re-cleaning the canonical side per batch was the
+       obvious way to get this wrong);
+     - per-batch caches are unpersisted before the batch returns, so
+       executor storage does not leak across triggers;
+     - output is written to a ``batch_id=N`` subdirectory with overwrite,
+       so a micro-batch retried after a failure REPLACES its own output
+       instead of appending duplicates (effectively-once; readers see the
+       batch_id as a partition column).
+    """
+    import os
+
+    from uk_address_matcher_spark.linkage import link_cleaned
+
+    canon_clean = clean_addresses(
+        canonical_flat, side.rel_tok_freq, side.common_end_tokens
+    ).cache()
+    canon_clean.count()
 
     def for_each(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        improved = link_addresses(
-            canonical_flat,
-            batch_df,
-            side,
-            rules=rules,
-            threshold_match_weight=threshold_match_weight,
-        )
-        improved.select(
-            "unique_id_l", "unique_id_r", "match_weight", "match_probability"
-        ).write.mode("append").parquet(output_dir)
+        cr = clean_addresses(
+            batch_df, side.rel_tok_freq, side.common_end_tokens
+        ).cache()
+        cr.count()  # fill the cache before multi-branch consumption
+        try:
+            improved = link_cleaned(
+                canon_clean,
+                cr,
+                side,
+                rules=rules,
+                threshold_match_weight=threshold_match_weight,
+            )
+            improved.select(
+                "unique_id_l", "unique_id_r", "match_weight", "match_probability"
+            ).write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            cr.unpersist()
 
     return (
         stream.writeStream.foreachBatch(for_each)

@@ -316,3 +316,122 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
         return fp
 
     return _spread(df).select("doc_id", let(hashes, fp_of).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash (standard deployment width): two 32-bit halves, because a
+# sum-of-2^i encoding caps a signed BIGINT at 62 usable bits in both Spark
+# and DuckDB. Each half is an independent 32-bit simhash over its own
+# md5-derived token hash (hex chars 1-8 for the low half, 9-16 for the
+# high), so the logical fingerprint is hi * 2^32 + lo.
+# ---------------------------------------------------------------------------
+
+
+def _md5_int_hi(c: Column) -> Column:
+    """Hex digits 9-16 of md5 as BIGINT — the high-half token hash,
+    replayable in DuckDB as ('0x' || substring(md5(x), 9, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("bigint")
+
+
+def _half_fp(hs: Column) -> Column:
+    def bit(i: int) -> Column:
+        ones = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        return F.when(ones * 2 >= F.size(hs), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(2**i).cast("bigint")
+
+    fp = None
+    for i in range(32):
+        fp = bit(i) if fp is None else fp + bit(i)
+    return fp
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp_hi, fp_lo) — 64-bit simhash as two 32-bit halves."""
+    from uk_address_matcher_spark.cleaning.steps import let
+
+    t = tokens(F.col(text_col))
+    lo_hashes = F.transform(t, lambda tok: md5_int(tok))
+    hi_hashes = F.transform(t, lambda tok: _md5_int_hi(tok))
+    return _spread(df).select(
+        "doc_id",
+        let(hi_hashes, _half_fp).alias("fp_hi"),
+        let(lo_hashes, _half_fp).alias("fp_lo"),
+    )
+
+
+def _bands64(max_hamming: int) -> list[tuple[int, int]]:
+    """(start, width) pigeonhole bands partitioning logical bits [0, 64)."""
+    n_bands = max_hamming + 1
+    w = 64 // n_bands
+    bands = []
+    for j in range(n_bands):
+        start = j * w
+        width = 64 - start if j == n_bands - 1 else w
+        bands.append((start, width))
+    return bands
+
+
+def _extract64(hi: Column, lo: Column, start: int, width: int) -> Column:
+    """Bits [start, start+width) of the logical fingerprint hi*2^32+lo.
+    Every intermediate stays under 2^62 (halves are < 2^32)."""
+    mask = F.lit((1 << width) - 1)
+    if start >= 32:
+        return F.shiftright(hi, start - 32).bitwiseAND(mask)
+    if start + width <= 32:
+        return F.shiftright(lo, start).bitwiseAND(mask)
+    lo_w = 32 - start
+    hi_w = width - lo_w
+    lo_part = F.shiftright(lo, start)
+    hi_part = hi.bitwiseAND(F.lit((1 << hi_w) - 1)) * F.lit(1 << lo_w).cast("bigint")
+    return (lo_part.bitwiseOR(hi_part)).bitwiseAND(mask)
+
+
+def simhash64_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) with 64-bit SimHash Hamming <= max_hamming.
+
+    Same pigeonhole guarantee as simhash_near_duplicates — bands partition
+    all 64 logical bits, so a Hamming-<=k pair agrees exactly on at least
+    one band — with band values extracted across the hi/lo halves.
+    """
+    fps = simhash64(df, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            _extract64(F.col("fp_hi"), F.col("fp_lo"), start, width).alias("val"),
+        )
+        for j, (start, width) in enumerate(_bands64(max_hamming))
+    ]
+    buckets = fps.select(
+        "doc_id", "fp_hi", "fp_lo", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id", "fp_hi", "fp_lo",
+        F.col("bk")["band"].alias("band"), F.col("bk")["val"].alias("val"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.fp_hi").alias("hi_a"),
+            F.col("a.fp_lo").alias("lo_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.fp_hi").alias("hi_b"),
+            F.col("b.fp_lo").alias("lo_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

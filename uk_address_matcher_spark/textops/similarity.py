@@ -14,9 +14,29 @@ Two paths:
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_TARGET_BUCKET = 200
+DEFAULT_MAX_BUCKET = 1000
+
+
+def suggest_n_planes(n_rows: int, target_bucket: int = DEFAULT_TARGET_BUCKET) -> int:
+    """Planes per band so that EXPECTED bucket occupancy stays ~constant
+    as the corpus grows: r = ceil(log2(n / target_bucket)), min 1.
+
+    With r planes a band has 2^r buckets; occupancy ~ n / 2^r. A FIXED r
+    means occupancy grows linearly with n and the within-bucket self-join
+    quadratically — the scale hazard this function exists to remove.
+    Recall is governed by the BAND count (OR over bands), so deepening
+    bands as data grows trades candidate volume, not recall structure.
+    """
+    return max(1, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -115,13 +135,16 @@ def lsh_buckets(
     b independent bands of r hyperplanes each: a pair collides if it
     agrees on ALL r signs in ANY band (OR-of-ANDs, the standard banded
     scheme — same shape as dedup.minhash_lsh_pairs). At scale the shuffle
-    key is (band, sig): 2^r buckets *per band*, and recall comes from band
-    count, not bucket width, so buckets stay small as data grows.
+    key is (band, sig): 2^r buckets *per band*. NOTE a FIXED r does NOT
+    keep buckets small as data grows — occupancy is ~n/2^r, linear in n,
+    and the within-bucket self-join quadratic in it. Scale r with the
+    corpus (suggest_n_planes) and keep ``max_bucket_size`` set; recall
+    comes from the band count.
 
     ``max_bucket_size`` drops over-full buckets (the quadratic-blowup
-    guard, like the stop-shingle cut in ngram_jaccard_pairs) — dropped
-    bucket keys are knowable via the same groupBy, never silently capped
-    at read time.
+    guard, like the stop-shingle cut in ngram_jaccard_pairs); the number
+    of dropped buckets/rows is logged, never silently capped at read
+    time.
     """
     all_planes = _planes(dim, n_bands, n_planes)
     band_cols = F.array(
@@ -143,7 +166,17 @@ def lsh_buckets(
             out.groupBy("band", "sig")
             .agg(F.count("*").alias("bucket_n"))
             .filter(F.col("bucket_n") > max_bucket_size)
-        )
+        ).cache()
+        dropped = oversized.agg(
+            F.count("*").alias("buckets"), F.sum("bucket_n").alias("rows")
+        ).collect()[0]
+        if dropped["buckets"]:
+            logger.warning(
+                "lsh_buckets: dropped %d over-full bucket(s) (%d rows) above "
+                "max_bucket_size=%d — raise n_planes (suggest_n_planes) if "
+                "this loses too much recall",
+                dropped["buckets"], dropped["rows"], max_bucket_size,
+            )
         out = out.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     return out
 
@@ -154,15 +187,22 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_bands: int = 4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Approximate top-k: compare a query only to vectors sharing a full
     band signature in at least one band; candidates deduped across bands
     before the (expensive) cosine. Vectors colliding in no band are never
-    compared (approximation trade-off, by design)."""
+    compared (approximation trade-off, by design).
+
+    Shipped defaults are scale-safe: ``n_planes=None`` derives the band
+    depth from the corpus size (one count; see suggest_n_planes) and
+    ``max_bucket_size`` caps bucket occupancy with logged drops.
+    """
+    if n_planes is None:
+        n_planes = suggest_n_planes(embeddings.count())
     e = lsh_buckets(embeddings, dim, n_bands, n_planes, id_col, vec_col, max_bucket_size)
     q = lsh_buckets(queries, dim, n_bands, n_planes, id_col, vec_col)
     cand = (
@@ -193,13 +233,20 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     dim: int = 64,
     n_bands: int = 4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: banded hyperplane LSH
-    candidates (deduped across bands), cosine verify, threshold filter."""
+    candidates (deduped across bands), cosine verify, threshold filter.
+
+    Shipped defaults are scale-safe: ``n_planes=None`` derives the band
+    depth from the corpus size (one count; see suggest_n_planes) and
+    ``max_bucket_size`` caps bucket occupancy with logged drops.
+    """
+    if n_planes is None:
+        n_planes = suggest_n_planes(embeddings.count())
     e = lsh_buckets(embeddings, dim, n_bands, n_planes, id_col, vec_col, max_bucket_size)
     cand = (
         e.alias("a")

@@ -140,3 +140,16 @@ def test_repartition_by_postcode_locality(spark):
     )
     assert spread == 1
     assert rp.count() == 400
+
+
+def test_hash_sample_partition_independent(spark):
+    from uk_address_matcher_spark.sources import hash_sample
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"{i} HIGH STREET", "AA1 1AA") for i in range(500)],
+        "unique_id string, address_concat string, postcode string",
+    )
+    a = {r["unique_id"] for r in hash_sample(df, 10, 0).collect()}
+    b = {r["unique_id"] for r in hash_sample(df.repartition(7), 10, 0).collect()}
+    assert a == b  # layout-independent membership
+    assert 0 < len(a) < 500

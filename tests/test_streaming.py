@@ -161,3 +161,38 @@ def test_arrival_stats_plan_is_streaming(spark, tmp_path):
     # current-timestamp events nothing finalizes — the contract here is
     # that the watermarked streaming aggregation RUNS end to end
     spark.sql("SELECT * FROM arrivals").collect()
+
+
+def test_stream_deduplicate_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence per key survives,
+    duplicates across micro-batches are suppressed by state."""
+    from uk_address_matcher_spark.streaming import stream_deduplicate
+
+    rows = _flat_rows()
+    flat = spark.createDataFrame(
+        rows, "unique_id string, address_concat string, postcode string"
+    )
+    in_dir = str(tmp_path / "dedup_landing")
+    # file 1: originals; file 2: same addresses under new ids (duplicates)
+    flat.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    flat.select(
+        F.concat(F.lit("dup_"), "unique_id").alias("unique_id"),
+        "address_concat",
+        "postcode",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_address_stream(spark, in_dir, max_files_per_trigger=1)
+    deduped = stream_deduplicate(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "dedup_out"))
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.read.parquet(str(tmp_path / "dedup_out"))
+    got = out.groupBy("address_concat", "postcode").count().collect()
+    expected = flat.select("address_concat", "postcode").distinct().count()
+    assert len(got) == expected          # every distinct address present once
+    assert all(r["count"] == 1 for r in got)  # and ONLY once

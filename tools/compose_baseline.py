@@ -1,16 +1,19 @@
 """Compose BENCH/BASELINE.md from the measured scaling artifacts.
 
-Inputs:
- - the 8v32 run JSON (embedded below after tools/scaling_bench.py 500000)
- - /tmp/full416.json (full pipeline at local[4] vs local[16], same input)
- - hardware control efficiencies measured on this box (see CONTROLS)
+Inputs (all produced the same day, on the same box, by:
+  SCALING_KERNEL=0 tools/scaling_bench.py 500000 4 16   (interleaved min-of-2
+    per level via the driver script -> /tmp/scale_4v16.json)
+  tools/scaling_bench.py 500000 8 32                    (-> /tmp/scale_8v32.json)
+  SCALING_ONLY_KERNEL=1 tools/scaling_bench.py 250000 4 16 (-> /tmp/kernel_4v16.json)
+  tools/controls_bench.py 4 16 8 32                     (-> /tmp/controls_r3.json)
 
-The point of the controls: the north rule's >=0.8 criterion assumes N vs
-4N EXECUTORS (4x sockets, 4x memory channels, 4x disks). A single box
-shares one socket's frequency/bandwidth/disk across all threads, so even
-a pure-CPU codegen loop with no shuffle cannot reach 0.8 at 8->32 here.
-The controls quantify that ceiling so the pipeline's efficiency can be
-read against what the hardware permits.
+The controls quantify what this single-socket box permits: the north
+rule's N vs 4N EXECUTORS would multiply sockets, memory channels and
+spill disks by 4, while one box shares them across all threads. Controls
+are re-measured alongside every pipeline run because host contention in
+this sandbox varies by the hour (observed >=30% wall swings); levels are
+interleaved and the minimum wall per level is reported as the
+steady-state estimate.
 """
 
 from __future__ import annotations
@@ -18,22 +21,14 @@ from __future__ import annotations
 import json
 import sys
 
-# measured by /tmp/controls.py on this box (Xeon 32 physical cores,
-# 1 socket, 1 NUMA node, no SMT)
-CONTROLS = {
-    "cpu_8_32": 0.78,
-    "shuffle_8_32": 0.701,
-    "cpu_4_16": 0.967,
-    "shuffle_4_16": 0.77,
-}
 
-
-def main(run8v32: dict, run4v16: dict, kernel416_eff: float) -> str:
+def main(run8v32: dict, run4v16: dict, kernel416_eff: float, controls: dict) -> str:
     lo8, hi32 = run8v32["low"], run8v32["high"]
     lo4, hi16 = run4v16["low"], run4v16["high"]
     eff8 = run8v32["efficiency"]
     eff4 = round(lo4["seconds"] / hi16["seconds"] / 4.0, 3)
     klo, khi = run8v32["kernel_low"], run8v32["kernel_high"]
+    method = run4v16.get("method", "single run per level")
     md = f"""# BENCH/BASELINE — throughput & scaling efficiency
 
 Job: full two-pass address linkage + transitive clustering over the
@@ -42,6 +37,7 @@ documents), every pass durably checkpointed (the north-rule
 configuration), identical input at both parallelism levels of each pair
 (result row counts asserted equal: {lo4["n_predictions"]:,} predictions,
 {lo4["n_cluster_rows"]:,} cluster rows at every level).
+Measurement method: {method}.
 
 ## Headline: N=4 vs 4N=16 cores (the unsaturated proxy pair)
 
@@ -61,24 +57,29 @@ configuration), identical input at both parallelism levels of each pair
 
 Efficiency = {eff8}.
 
-## Hardware ceiling controls (same box, measured)
+## Hardware ceiling controls (same box, measured the same day)
 
 This sandbox is ONE 32-core socket (1 NUMA node, shared frequency /
 memory channels / disk); the rule's N vs 4N EXECUTORS would multiply
-sockets, bandwidth and spill disks by 4. Control jobs quantify what this
-box permits at each pair:
+sockets, bandwidth and spill disks by 4. Control jobs re-measured
+alongside this round's runs:
 
 | control | 4 -> 16 | 8 -> 32 |
 |---|---|---|
-| pure-CPU codegen loop (no shuffle) | {CONTROLS["cpu_4_16"]} | {CONTROLS["cpu_8_32"]} |
-| shuffle-bound repartition | {CONTROLS["shuffle_4_16"]} | {CONTROLS["shuffle_8_32"]} |
+| pure-CPU codegen loop (no shuffle) | {controls.get("cpu_4_16")} | {controls.get("cpu_8_32")} |
+| shuffle-bound repartition (~6 GB) | {controls.get("shuffle_4_16")} | {controls.get("shuffle_8_32")} |
 
-At 8->32 even the no-shuffle CPU control reaches only
-{CONTROLS["cpu_8_32"]} (frequency scaling with active-core count), and a
-pure shuffle {CONTROLS["shuffle_8_32"]}; the pipeline's {eff8} is ~97% of
-the shuffle-control ceiling. At 4->16, where the box is not
-frequency/bandwidth-saturated, the pipeline reaches **{eff4}** against a
-CPU-control ceiling of {CONTROLS["cpu_4_16"]}.
+What the full pipeline loses beyond the controls is measured, not
+guessed: per-stage executor-CPU accounting (Spark event logs, 4 vs 16
+cores on identical input) shows the wide-row stages — the pair-attach
+shuffle writer and the second-pass map algebra — inflating their
+executor-CPU per row at high thread counts (shared-socket memory
+bandwidth), while codegen-friendly narrow stages inflate <1.25x. Round 3
+attacked exactly that: histogram payloads packed to fixed-width
+(xxhash64 tok, cnt, rel_freq) entries before the attach exchange, block
+histograms computed once per block, and every driver barrier fused or
+removed (single side-table job, single union cleaning job, footer-based
+checkpoint metrics, endgame-first clustering).
 
 ## Compute kernel (pairwise Fellegi-Sunter scoring, {klo["pairs"]:,} pairs)
 
@@ -88,32 +89,30 @@ CPU-control ceiling of {CONTROLS["cpu_4_16"]}.
 | 4N | 32 | {khi["seconds"]} | {khi["pairs_per_sec"]} |
 
 Kernel efficiency {run8v32["kernel_efficiency"]} (8->32), {kernel416_eff}
-(4->16) — the kernel's wide-row attach shuffle is disk-throughput-bound
-on this box at every parallelism level (see shuffle control), which a
-multi-node cluster parallelises across node-local disks.
+(4->16) — the kernel's wide-row attach shuffle is bandwidth-bound on
+this box at every parallelism level (see shuffle control), which a
+multi-node cluster parallelises across node-local memory and disks.
 
 Reference single-node baseline (readme.md:5-11): 176,640 messy vs 273,832
-canonical in 11.05 s = 15,008 addresses/s on DuckDB in-memory. Round-2
-local[32] full-pipeline is {hi32["docs_per_sec"]} docs/s at 1M docs
-(round-1: 1,172.6 — 2.0x better), with every pass durably checkpointed
-and resumable, which the in-memory reference does not attempt.
+canonical in 11.05 s = 15,008 addresses/s on DuckDB in-memory. Round-3
+local[32] full-pipeline is {hi32["docs_per_sec"]} docs/s at 1M docs with
+every pass durably checkpointed and resumable, which the in-memory
+reference does not attempt.
 
-JSON: `{json.dumps({"low_4": lo4, "high_16": hi16, "efficiency_4_16": eff4, "low": lo8, "high": hi32, "efficiency": eff8, "kernel_low": klo, "kernel_high": khi, "kernel_efficiency": run8v32["kernel_efficiency"], "kernel_efficiency_4_16": kernel416_eff, "controls": CONTROLS})}`
+JSON: `{json.dumps({"low_4": lo4, "high_16": hi16, "efficiency_4_16": eff4, "low": lo8, "high": hi32, "efficiency": eff8, "kernel_low": klo, "kernel_high": khi, "kernel_efficiency": run8v32["kernel_efficiency"], "kernel_efficiency_4_16": kernel416_eff, "controls": controls})}`
 """
     return md
 
 
 if __name__ == "__main__":
-    # round-3 inputs: tools/scaling_bench.py 500000 4 16 (SCALING_KERNEL=0),
-    # tools/scaling_bench.py 500000 8 32, and SCALING_ONLY_KERNEL=1
-    # tools/scaling_bench.py 250000 4 16
     run8v32 = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_8v32.json"))
     run4v16 = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_4v16.json"))
     try:
         k416 = json.load(open("/tmp/kernel_4v16.json"))["kernel_efficiency"]
     except Exception:
-        k416 = 0.608  # round-2 measurement
-    md = main(run8v32, run4v16, kernel416_eff=k416)
+        k416 = None
+    controls = json.load(open("/tmp/controls_r3.json"))
+    md = main(run8v32, run4v16, kernel416_eff=k416, controls=controls)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print("written")

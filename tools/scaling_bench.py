@@ -108,7 +108,12 @@ def run_kernel(cpus: int, n: int) -> dict:
     pairs = block(cl, cr).cache()
     n_pairs = pairs.count()
     t0 = _t.time()
-    pred = score_pairs(pairs, cl, cr, side.numeric_tf, threshold_match_weight=-50)
+    # attach_display=False: measure the scoring kernel itself (the
+    # post-filter display re-attach is orchestration, measured by run_level)
+    pred = score_pairs(
+        pairs, cl, cr, side.numeric_tf, threshold_match_weight=-50,
+        attach_display=False,
+    )
     n_scored = pred.count()
     elapsed = _t.time() - t0
     spark.stop()

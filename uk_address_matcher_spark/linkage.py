@@ -239,14 +239,18 @@ def link_cleaned(
     ``cl``/``cr`` must be materialised (cached or checkpointed) by the
     caller; each feeds multiple plan branches here.
     """
+    from uk_address_matcher_spark.scoring import attach_display_columns
+    from uk_address_matcher_spark.second_pass import prune_candidates
+
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
-    # when the second pass consumes the predictions, drop the compared
-    # attribute columns from pass 1 (the second pass re-derives its
-    # features from the address strings; the histogram maps would
-    # dominate the checkpoint encode) — the user-facing single-pass
-    # output keeps them, like the reference's retain_matching_columns
+    # score in COMPACT form (no display strings through the pair
+    # exchanges); when the second pass follows, prune to exactly its
+    # candidate set (its own threshold -20 + top-5 per messy record)
+    # BEFORE attaching text columns and writing the pass-1 checkpoint —
+    # everything below that cut is unreachable downstream, and at the
+    # default -50 threshold it is ~95% of the scored rows
     pred = score_pairs(
         pairs,
         cl,
@@ -254,6 +258,12 @@ def link_cleaned(
         side.numeric_tf,
         threshold_match_weight=threshold_match_weight,
         retain_matching_columns=not second_pass,
+        attach_display=False,
+    )
+    if second_pass:
+        pred = prune_candidates(pred)
+    pred = attach_display_columns(
+        pred, cl, cr, retain_matching_columns=not second_pass
     )
     if checkpointer is not None:
         pred = checkpointer.checkpoint(pred, "predictions_pass1")

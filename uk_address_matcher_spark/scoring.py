@@ -87,16 +87,28 @@ def _cascade(levels: list[tuple[Column, Column]]) -> Column:
     return expr.otherwise(levels[-1][1])
 
 
-def comparison_bfs(retain_product: bool = False) -> dict[str, Column]:
+def comparison_bfs(retain_product: bool = False, oac_sig: bool = False) -> dict[str, Column]:
     """All 8 comparison BF columns over a suffixed pair row (cols *_l/*_r
-    plus tf_numeric_token_{1,2,3}_{l,r})."""
+    plus tf_numeric_token_{1,2,3}_{l,r}).
+
+    ``oac_sig=True``: comparison 1 reads the null-preserving xxhash64
+    signature columns ``__oac_sig_l/_r`` instead of the address strings —
+    the equality-only comparison doesn't need the text, and dropping the
+    two longest strings from the pair shuffle is a large payload win
+    (score_pairs re-attaches the text after the threshold filter).
+    """
     c = F.col
 
     # 1. original_address_concat — cl.ExactMatch u=[1,2] m=[15,1] (training.py:14-16)
+    oac_l, oac_r = (
+        ("__oac_sig_l", "__oac_sig_r")
+        if oac_sig
+        else ("original_address_concat_l", "original_address_concat_r")
+    )
     oac = _cascade(
         [
-            (c("original_address_concat_l").isNull() | c("original_address_concat_r").isNull(), F.lit(1.0)),
-            (c("original_address_concat_l") == c("original_address_concat_r"), F.lit(15.0)),
+            (c(oac_l).isNull() | c(oac_r).isNull(), F.lit(1.0)),
+            (c(oac_l) == c(oac_r), F.lit(15.0)),
             (F.lit(True), F.lit(1 / 2)),
         ]
     )
@@ -309,8 +321,15 @@ def score_pairs(
     threshold_match_weight: float | None = None,
     retain_bf: bool = False,
     retain_matching_columns: bool = True,
+    attach_display: bool = True,
 ) -> DataFrame:
     """(unique_id_l, unique_id_r) pairs -> scored prediction table.
+
+    ``attach_display=False`` returns the COMPACT scored rows (ids,
+    weights, postcodes, numeric/flat tokens, packed histograms, __oac_sig
+    signatures) without the re-attach joins — for callers that prune
+    further before needing text columns (linkage prunes to the rescoring
+    candidate set first, then calls attach_display_columns).
 
     Two hash joins attach the wide cleaned attributes AFTER pair dedup
     (ids only move through the blocking shuffle), then one projection
@@ -321,10 +340,9 @@ def score_pairs(
     name (splink_model.py:36): False drops the compared attribute columns
     from the OUTPUT (they are still read for scoring), keeping only ids,
     weights, the address/postcode pair, and common_end_tokens_hist_r (the
-    second pass's inputs). When True, the retained
-    ``token_rel_freq_arr_hist_*`` columns carry the PACKED form
-    (xxhash64(tok) keys — see _pack below); read token text from the
-    cleaned tables if needed. Materialising the full frame costs real time —
+    second pass's inputs). Text/histogram columns in the output are
+    re-attached from the cleaned tables AFTER the threshold filter — the
+    pair exchanges carry only compact signatures (see _compact below). Materialising the full frame costs real time —
     the token-histogram maps dominate the parquet encode of a pass-1
     checkpoint — so drop them when only the second pass consumes the
     output.
@@ -347,35 +365,54 @@ def score_pairs(
     keep_l = [c for c in cleaned_l.columns if c in scoring_cols]
     keep_r = [c for c in cleaned_r.columns if c in scoring_cols]
 
-    # pack the token histogram for the pair shuffle: tok -> xxhash64(tok).
-    # The intersection only needs EQUALITY of tokens, and the hist rides
-    # every wide attach exchange (the dominant payload: measured 4x
-    # executor-CPU inflation of the attach stage at 16 vs 4 cores on one
-    # socket — wide string-bearing rows saturate memory bandwidth long
-    # before narrow ones do). A fixed-width (long, long, double) entry
-    # halves the bytes and turns the probe comparisons into long equality.
-    # Collision odds for two distinct tokens inside one pair's ~30-token
-    # vocabulary are ~2^-59 — no behavioural change. common_end_tokens_hist
-    # stays string-keyed: the second pass strips literal trailing TOKENS
-    # from it, and it is 1-3 entries.
-    def _pack(df: DataFrame) -> DataFrame:
-        if "token_rel_freq_arr_hist" not in df.columns:
-            return df
-        return df.withColumn(
-            "token_rel_freq_arr_hist",
-            F.transform(
-                F.col("token_rel_freq_arr_hist"),
-                lambda e: F.struct(
-                    F.xxhash64(e["tok"]).alias("tok"),
-                    e["cnt"].alias("cnt"),
-                    e["rel_freq"].alias("rel_freq"),
-                ),
+    # COMPACT the pair-shuffle payload. Every candidate pair (23M at 250k
+    # docs) carries both sides' comparison inputs through two exchanges,
+    # but only the ~5% surviving the threshold need display columns —
+    # measured per-stage executor-CPU shows the attach/scoring stages
+    # dominated by payload bytes (memory bandwidth) at high parallelism:
+    #  - token histogram: tok -> xxhash64(tok). Intersection needs token
+    #    EQUALITY only; fixed-width (long, long, double) entries halve the
+    #    bytes and make probe comparisons long-equality. Collision odds
+    #    inside one pair's ~30-token vocabulary: ~2^-59.
+    #  - common-end histogram: same packing (its BF is also
+    #    intersection-only). The STRING form the second pass needs is
+    #    re-attached post-filter.
+    #  - original_address_concat: replaced by a null-preserving xxhash64
+    #    signature (__oac_sig); its BF is equality-only. Text re-attached
+    #    post-filter.
+    def _pack_hist(col: Column) -> Column:
+        return F.transform(
+            col,
+            lambda e: F.struct(
+                F.xxhash64(e["tok"]).alias("tok"),
+                e["cnt"].alias("cnt"),
+                e["rel_freq"].alias("rel_freq"),
             ),
         )
 
-    left = _suffix(_pack(cleaned_l.select(keep_l)), "_l")
-    right = _suffix(_pack(cleaned_r.select(keep_r)), "_r")
-    # shuffle-hash: sort-merge would sort 10^6-10^9 wide (map-carrying)
+    def _compact(df: DataFrame, keep: list[str]) -> DataFrame:
+        out = df.select(keep)
+        if "token_rel_freq_arr_hist" in out.columns:
+            out = out.withColumn(
+                "token_rel_freq_arr_hist", _pack_hist(F.col("token_rel_freq_arr_hist"))
+            )
+        if "common_end_tokens_hist" in out.columns:
+            out = out.withColumn(
+                "common_end_tokens_hist", _pack_hist(F.col("common_end_tokens_hist"))
+            )
+        if "original_address_concat" in out.columns:
+            out = out.withColumn(
+                "__oac_sig",
+                F.when(
+                    F.col("original_address_concat").isNotNull(),
+                    F.xxhash64("original_address_concat"),
+                ),
+            ).drop("original_address_concat")
+        return out
+
+    left = _suffix(_compact(cleaned_l, keep_l), "_l")
+    right = _suffix(_compact(cleaned_r, keep_r), "_r")
+    # shuffle-hash: sort-merge would sort 10^6-10^9 wide (array-carrying)
     # rows per side; hashing the (small) cleaned side is strictly cheaper
     df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(
         right.hint("shuffle_hash"), "unique_id_r"
@@ -389,7 +426,7 @@ def score_pairs(
             df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(None).cast("double"))
             df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
 
-    bfs = comparison_bfs()
+    bfs = comparison_bfs(oac_sig=True)
     for name, expr in bfs.items():
         df = df.withColumn(name, expr)
 
@@ -422,6 +459,45 @@ def score_pairs(
         df = df.filter(F.col("match_weight") > threshold_match_weight)
     if not retain_bf:
         df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
+    if attach_display:
+        df = attach_display_columns(df, cleaned_l, cleaned_r, retain_matching_columns)
+    return df
+
+
+def attach_display_columns(
+    df: DataFrame,
+    cleaned_l: DataFrame,
+    cleaned_r: DataFrame,
+    retain_matching_columns: bool = True,
+) -> DataFrame:
+    """Re-attach the text/histogram columns the compact scored rows shed
+    (see score_pairs._compact): two narrow joins against the cleaned
+    tables. Call AFTER any filtering/pruning — at the linkage defaults,
+    the rescoring candidates are ~5% of the scored pairs, so attaching
+    late moves a fraction of the bytes that carrying display strings
+    through the pair exchanges would."""
+    df = df.drop(
+        "__oac_sig_l", "__oac_sig_r",
+        "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r",
+        "common_end_tokens_hist_l", "common_end_tokens_hist_r",
+    )
+
+    def _reatt(side_df: DataFrame, suffix: str, wanted: list[str]):
+        cols = [F.col("unique_id").alias(f"unique_id{suffix}")]
+        for c in wanted:
+            if c in side_df.columns:
+                cols.append(F.col(c).alias(f"{c}{suffix}"))
+        return side_df.select(cols)
+
+    want_l = ["original_address_concat"]
+    want_r = ["original_address_concat", "common_end_tokens_hist"]
+    if retain_matching_columns:
+        want_l += ["common_end_tokens_hist", "token_rel_freq_arr_hist"]
+        want_r += ["token_rel_freq_arr_hist"]
+    df = df.join(
+        _reatt(cleaned_l, "_l", want_l).hint("shuffle_hash"), "unique_id_l"
+    ).join(_reatt(cleaned_r, "_r", want_r).hint("shuffle_hash"), "unique_id_r")
+
     if not retain_matching_columns:
         keep = {
             "unique_id_l",

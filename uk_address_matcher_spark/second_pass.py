@@ -107,20 +107,39 @@ def _map_sum_inv_sq(m: Column) -> Column:
     )
 
 
+def prune_candidates(
+    df_predict: DataFrame,
+    match_weight_threshold: float = -20.0,
+    top_n_matches: int = 5,
+) -> DataFrame:
+    """Steps 1-2 of the rescoring pass: threshold + top-n per messy record
+    (DESC weight, DESC id). Exposed separately so the linkage driver can
+    prune the scored pairs BEFORE display columns are attached and the
+    pass-1 checkpoint is written — everything below the threshold / rank
+    cut is unreachable by the second pass, so carrying it through the
+    re-attach joins and the durable checkpoint is pure waste (at 1M docs:
+    45.8M scored rows of which ~2.5M are rescoring candidates).
+    Idempotent: applying it to already-pruned input is a no-op.
+    """
+    good = df_predict.filter(F.col("match_weight") > match_weight_threshold)
+    w = Window.partitionBy("unique_id_r").orderBy(
+        F.desc("match_weight"), F.desc("unique_id_l")
+    )
+    return (
+        good.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n_matches)
+        .drop("__rn")
+    )
+
+
 def improve_predictions_using_distinguishing_tokens(
     df_predict: DataFrame,
     match_weight_threshold: float = -20.0,
     top_n_matches: int = 5,
     use_bigrams: bool = True,
 ) -> DataFrame:
-    # Step 1-2: threshold + top-n per messy record (DESC weight, DESC id)
-    good = df_predict.filter(F.col("match_weight") > match_weight_threshold)
-    w = Window.partitionBy("unique_id_r").orderBy(
-        F.desc("match_weight"), F.desc("unique_id_l")
-    )
-    top = good.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= top_n_matches
-    ).drop("__rn")
+    # Step 1-2: threshold + top-n per messy record
+    top = prune_candidates(df_predict, match_weight_threshold, top_n_matches)
 
     # Step 3: strip up to 2 common end tokens (from the messy side's set).
     # EFFECTIVE reference behaviour: only tokens_r sees the stripped text —

@@ -117,6 +117,16 @@ def sample_addresses(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def hash_sample(
+    df: DataFrame, modulus: int = 10, remainder: int = 0, id_col: str = "unique_id"
+) -> DataFrame:
+    """The reference scripts' ``hash(unique_id) % 10 = 0`` sampling idiom
+    (e.g. scripts/epc_accuracy_from_labels.py:34): deterministic AND
+    partition-independent — the same record is always in or out of the
+    sample regardless of cluster layout, unlike rand()-ordered sampling."""
+    return df.filter(F.abs(F.xxhash64(F.col(id_col))) % modulus == remainder)
+
+
 def repartition_by_postcode_locality(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Range-partition a flat address table by postcode so records that
     block together are physically co-located (the reference's `ORDER BY

@@ -133,6 +133,47 @@ def stream_link_addresses(
     )
 
 
+def stream_deduplicate(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("address_concat", "postcode"),
+):
+    """Custom STATEFUL streaming operator: emit only the FIRST record seen
+    for each key across the whole stream (exact dedup with unbounded
+    lineage — `dropDuplicates` on a stream needs a watermark to bound
+    state; this keeps a one-row seen-marker per key instead).
+
+    Built on applyInPandasWithState: state (seen-count) lives in the state
+    store — per-key, partitioned across executors, RocksDB-backed on a
+    real cluster — so the operator scales horizontally; the Python hook
+    receives Arrow batches per key group. Returns an unstarted streaming
+    DataFrame: attach your own sink.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = stream.schema
+
+    def dedup_fn(key, pdf_iter, state):
+        first = None
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        seen_before = state.exists
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        if not seen_before and first is not None:
+            yield first
+
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def arrival_stats(
     stream: DataFrame,
     watermark: str = "10 minutes",

@@ -11,6 +11,10 @@ candidate-pair semantics unchanged (each qualifying pair appears exactly
 once regardless of how many rules fire, matching Splink's
 AND-NOT-previous-rules cascade).
 
+Rule components are SQL-text fragments (see sqlexpr module doc: the
+Column API costs ~ms of Py4J per operator node; the 18-rule key array is
+hundreds of nodes and is built fresh per linkage call).
+
 Skew: postcode and postcode-sector keys are Zipf-distributed. Two
 defences, both on by default at scale:
  - AQE skew-join splitting (session default, see session.py)
@@ -22,74 +26,57 @@ defences, both on by default at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from uk_address_matcher_spark import sqlexpr as X
 
 SEP = "\x1f"
 
-
-def _out(pc: Column) -> Column:
-    return F.split_part(pc, F.lit(" "), F.lit(1))
-
-
-def _in(pc: Column) -> Column:
-    return F.split_part(pc, F.lit(" "), F.lit(2))
-
-
-def _k(name: str):
-    return lambda df: df[name]
-
-
-def _pc_out(df):
-    return _out(df["postcode"])
-
-
-def _pc_in(df):
-    return _in(df["postcode"])
-
-
-def _arr(name: str, i: int):
-    return lambda df: F.try_element_at(df[name], F.lit(i))
-
-
-N1, N2 = _k("numeric_token_1"), _k("numeric_token_2")
-PC = _k("postcode")
-U1, U2 = _arr("unusual_tokens_arr", 1), _arr("unusual_tokens_arr", 2)
-V1, V2 = _arr("very_unusual_tokens_arr", 1), _arr("very_unusual_tokens_arr", 2)
-E1 = _arr("extremely_unusual_tokens_arr", 1)
+N1, N2 = "numeric_token_1", "numeric_token_2"
+PC = "postcode"
+PC_OUT = "split_part(postcode, ' ', 1)"
+PC_IN = "split_part(postcode, ' ', 2)"
+U1, U2 = (
+    "try_element_at(unusual_tokens_arr, 1)",
+    "try_element_at(unusual_tokens_arr, 2)",
+)
+V1, V2 = (
+    "try_element_at(very_unusual_tokens_arr, 1)",
+    "try_element_at(very_unusual_tokens_arr, 2)",
+)
+E1 = "try_element_at(extremely_unusual_tokens_arr, 1)"
 
 # (l_key, r_key) component pairs per rule — transcription of
 # linking_model/blocking.py:1-25 (l = canonical, r = messy; the reference's
 # cross-column rules like `l.numeric_token_1 = r.numeric_token_2` become
 # asymmetric component pairs) + the appended block_on("postcode").
 BLOCKING_RULES: list[list[tuple]] = [
-    [(N1, N1), (U1, U1), (U2, U2), (_pc_out, _pc_out)],
-    [(N1, N2), (U1, U1), (_pc_out, _pc_out)],
-    [(N1, N2), (U1, U1), (_pc_in, _pc_in)],
-    [(N1, N1), (U1, U2), (U2, U1), (_pc_out, _pc_out)],
-    [(N1, N1), (U1, U2), (_pc_in, _pc_in)],
+    [(N1, N1), (U1, U1), (U2, U2), (PC_OUT, PC_OUT)],
+    [(N1, N2), (U1, U1), (PC_OUT, PC_OUT)],
+    [(N1, N2), (U1, U1), (PC_IN, PC_IN)],
+    [(N1, N1), (U1, U2), (U2, U1), (PC_OUT, PC_OUT)],
+    [(N1, N1), (U1, U2), (PC_IN, PC_IN)],
     [(N1, N1), (PC, PC)],
     [(N1, N2), (PC, PC)],
     [(U1, U2), (PC, PC)],
     [(V1, V1), (N1, N1)],
     [(V1, V2), (N1, N1)],
-    [(N2, N2), (U1, U1), (_pc_out, _pc_out)],
-    [(N1, N1), (U1, U1), (_pc_in, _pc_in)],
-    [(N2, N2), (U1, U1), (_pc_in, _pc_in)],
+    [(N2, N2), (U1, U1), (PC_OUT, PC_OUT)],
+    [(N1, N1), (U1, U1), (PC_IN, PC_IN)],
+    [(N2, N2), (U1, U1), (PC_IN, PC_IN)],
     [(N2, N2), (PC, PC)],
-    [(N1, N1), (N2, N2), (_pc_out, _pc_out)],
-    [(N1, N1), (N2, N2), (_pc_in, _pc_in)],
-    [(E1, E1), (_pc_out, _pc_out)],
+    [(N1, N1), (N2, N2), (PC_OUT, PC_OUT)],
+    [(N1, N1), (N2, N2), (PC_IN, PC_IN)],
+    [(E1, E1), (PC_OUT, PC_OUT)],
     [(PC, PC)],
 ]
 
 
-def _rule_key(df: DataFrame, components) -> Column:
-    cols = [c(df).cast("string") for c in components]
-    non_null = None
-    for c in cols:
-        non_null = c.isNotNull() if non_null is None else (non_null & c.isNotNull())
-    return F.when(non_null, F.concat_ws(SEP, *cols))
+def _rule_key_sql(components: list[str]) -> str:
+    cols = [f"cast({c} as string)" for c in components]
+    non_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return f"CASE WHEN {non_null} THEN concat_ws('{SEP}', {', '.join(cols)}) END"
 
 
 def blocking_keys(
@@ -102,18 +89,16 @@ def blocking_keys(
     """
     rules = BLOCKING_RULES if rules is None else rules
     idx = 0 if side == "l" else 1
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("rule_id"),
-                _rule_key(df, [pair[idx] for pair in rule]).alias("key"),
-            )
-            for i, rule in enumerate(rules)
-        ]
+    structs = ", ".join(
+        f"named_struct('rule_id', {i}, 'key', "
+        f"{_rule_key_sql([pair[idx] for pair in rule])})"
+        for i, rule in enumerate(rules)
     )
-    return df.select(
-        "unique_id", F.explode(F.filter(keys, lambda k: k["key"].isNotNull())).alias("k")
-    ).select(F.col("k")["rule_id"].alias("rule_id"), F.col("k")["key"].alias("key"), "unique_id")
+    v = X.gensym("k")
+    return df.selectExpr(
+        "unique_id",
+        f"explode(filter(array({structs}), {v} -> {v}.key IS NOT NULL)) AS k",
+    ).selectExpr("k.rule_id AS rule_id", "k.key AS key", "unique_id")
 
 
 def block(
@@ -147,4 +132,4 @@ def block(
 def block_on(columns: list[str]) -> list[list[tuple]]:
     """Single-rule blocking on plain column equality (reference tests use
     block_on('test_block') — tests/test_edge_cases.py:48-50)."""
-    return [[(_k(c), _k(c)) for c in columns]]
+    return [[(c, c) for c in columns]]

@@ -30,6 +30,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from uk_address_matcher_spark import sqlexpr as X
 from uk_address_matcher_spark.cleaning.steps import let
 
 PRIOR_P = 3e-8
@@ -87,15 +88,230 @@ def _cascade(levels: list[tuple[Column, Column]]) -> Column:
     return expr.otherwise(levels[-1][1])
 
 
-def comparison_bfs(retain_product: bool = False, oac_sig: bool = False) -> dict[str, Column]:
-    """All 8 comparison BF columns over a suffixed pair row (cols *_l/*_r
-    plus tf_numeric_token_{1,2,3}_{l,r}).
+def _hist_prod_sql(hl: str, hr: str) -> str:
+    """SQL-text form of :func:`hist_intersection_product` — identical
+    expression tree (probe with filter + try_element_at, pow of
+    rel_freq), built as a string so constructing the kernel costs one
+    Py4J round-trip instead of thousands (see sqlexpr module doc)."""
+    acc, e, y = X.gensym("acc"), X.gensym("e"), X.gensym("y")
+    hit = f"try_element_at(filter({hr}, {y} -> {y}.tok = {e}.tok), 1)"
+    body = (
+        f"coalesce(CASE WHEN {hit} IS NOT NULL THEN "
+        f"pow({e}.rel_freq, cast(least({e}.cnt, {hit}.cnt) as double)) END, 1.0D)"
+    )
+    return f"aggregate({hl}, 1.0D, ({acc}, {e}) -> {acc} * {body})"
+
+
+def _tf_mult_sql(u_level: float, tf_weight: float, tf_l: str, tf_r: str) -> str:
+    tf = f"greatest({tf_l}, {tf_r})"
+    return (
+        f"coalesce(CASE WHEN {tf} IS NOT NULL THEN "
+        f"pow({X.d(u_level)} / {tf}, {X.d(tf_weight)}) END, 1.0D)"
+    )
+
+
+def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
+    """All 8 comparison BF expressions as SQL text over a suffixed pair
+    row (cols *_l/*_r plus tf_numeric_token_{1,2,3}_{l,r}).
 
     ``oac_sig=True``: comparison 1 reads the null-preserving xxhash64
     signature columns ``__oac_sig_l/_r`` instead of the address strings —
     the equality-only comparison doesn't need the text, and dropping the
     two longest strings from the pair shuffle is a large payload win
     (score_pairs re-attaches the text after the threshold filter).
+
+    Why strings: the Column API costs one Py4J round-trip per operator
+    node; this kernel has thousands. One ``F.expr`` per comparison
+    parses the identical tree JVM-side in milliseconds (all constants
+    are Python-computed and embedded with exact round-trip repr, so the
+    values are bit-identical to the former ``F.lit`` forms).
+    """
+    oac_l, oac_r = (
+        ("__oac_sig_l", "__oac_sig_r")
+        if oac_sig
+        else ("original_address_concat_l", "original_address_concat_r")
+    )
+
+    # 1. original_address_concat — cl.ExactMatch u=[1,2] m=[15,1] (training.py:14-16)
+    oac = X.cascade(
+        [
+            (f"({oac_l} IS NULL OR {oac_r} IS NULL)", "1.0D"),
+            (f"{oac_l} = {oac_r}", X.d(15.0)),
+            (None, X.d(1 / 2)),
+        ]
+    )
+
+    # 2. flat_positional (training.py:94-157)
+    fp = X.cascade(
+        [
+            (
+                "(flat_positional_l IS NULL AND flat_positional_r IS NULL "
+                "AND flat_letter_l IS NULL AND flat_letter_r IS NULL)",
+                "1.0D",
+            ),
+            ("flat_positional_l = flat_positional_r", X.d(_w2bf(6.57))),
+            ("flat_letter_l = flat_letter_r", X.d(_w2bf(6.57))),
+            (
+                "(flat_letter_l = numeric_token_1_r "
+                "OR flat_letter_r = numeric_token_1_l)",
+                X.d(_w2bf(0)),
+            ),
+            (
+                "((flat_positional_l IS NOT NULL AND flat_positional_r IS NULL "
+                "AND flat_letter_r IS NOT NULL) OR "
+                "(flat_positional_r IS NOT NULL AND flat_positional_l IS NULL "
+                "AND flat_letter_l IS NOT NULL))",
+                X.d(_w2bf(0)),
+            ),
+            (None, X.d(_w2bf(-5))),
+        ]
+    )
+
+    # 3. numeric_token_1 (training.py:160-219)
+    def digits(col: str) -> str:
+        return f"nullif(regexp_extract({col}, '\\\\d+', 0), '')"
+
+    tf1 = _tf_mult_sql(1.0, 0.1, "tf_numeric_token_1_l", "tf_numeric_token_1_r")
+    n1 = X.cascade(
+        [
+            ("(numeric_token_1_l IS NULL OR numeric_token_1_r IS NULL)", "1.0D"),
+            ("numeric_token_1_l = numeric_token_1_r", f"{X.d(_w2bf(6.57))} * {tf1}"),
+            (
+                f"{digits('numeric_token_1_l')} = {digits('numeric_token_1_r')}",
+                f"{X.d(_w2bf(6.57))} * {tf1}",
+            ),
+            (
+                "(numeric_token_2_l = numeric_token_1_r "
+                "OR numeric_token_1_l = numeric_token_2_r)",
+                X.d(_w2bf(2)),
+            ),
+            # level 5 of the reference (NULL OR NULL, weight -4) is shadowed
+            # by level 1 — kept out; ELSE:
+            (None, X.d(_w2bf(-8))),
+        ]
+    )
+
+    # 4. numeric_token_2 (training.py:222-273)
+    tf2 = _tf_mult_sql(1.0, 0.1, "tf_numeric_token_2_l", "tf_numeric_token_2_r")
+    n2 = X.cascade(
+        [
+            ("(numeric_token_2_l IS NULL AND numeric_token_2_r IS NULL)", "1.0D"),
+            ("numeric_token_2_l = numeric_token_2_r", f"{X.d(_w2bf(6.57))} * {tf2}"),
+            (
+                "(numeric_token_1_l = numeric_token_2_r "
+                "OR numeric_token_1_r = numeric_token_2_l)",
+                X.d(_w2bf(0)),
+            ),
+            ("(numeric_token_2_l IS NULL OR numeric_token_2_r IS NULL)", X.d(_w2bf(-2))),
+            (None, X.d(_w2bf(-4))),
+        ]
+    )
+
+    # 5. numeric_token_3 — explicit m/u pairs (training.py:281-320)
+    tf3a = _tf_mult_sql(0.0001, 0.5, "tf_numeric_token_3_l", "tf_numeric_token_3_r")
+    tf3b = _tf_mult_sql(0.0025, 0.5, "tf_numeric_token_3_l", "tf_numeric_token_3_r")
+    n3 = X.cascade(
+        [
+            ("(numeric_token_3_l IS NULL AND numeric_token_3_r IS NULL)", "1.0D"),
+            ("numeric_token_3_l = numeric_token_3_r", f"{X.d(0.6 / 0.0001)} * {tf3a}"),
+            ("numeric_token_2_l = numeric_token_3_r", f"{X.d(0.3 / 0.0025)} * {tf3b}"),
+            ("(numeric_token_3_l IS NULL OR numeric_token_3_r IS NULL)", X.d(1 / 16)),
+            (None, X.d(1 / 256)),
+        ]
+    )
+
+    # 6. token_rel_freq_arr_hist — 34 product-threshold levels
+    #    (training.py:386-455); product computed once (let-bound),
+    #    bucketed by the when ladder
+    levels = _token_hist_levels()
+
+    def bucket(prod: str) -> str:
+        return X.cascade(
+            [
+                (f"{prod} < {X.d(10.0 ** exp)}", X.d(_w2bf(weight)))
+                for exp, weight in levels
+            ]
+            + [(None, X.d(1 / 256))]
+        )
+
+    tok_hist = X.cascade(
+        [
+            (
+                "(token_rel_freq_arr_hist_l IS NULL "
+                "OR token_rel_freq_arr_hist_r IS NULL)",
+                "1.0D",
+            ),
+            (
+                None,
+                X.let(
+                    _hist_prod_sql(
+                        "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r"
+                    ),
+                    bucket,
+                ),
+            ),
+        ]
+    )
+
+    # 7. common_end_tokens (training.py:458-486)
+    cet = X.cascade(
+        [
+            (
+                "(common_end_tokens_hist_l IS NULL "
+                "OR common_end_tokens_hist_r IS NULL)",
+                "1.0D",
+            ),
+            (
+                f"{_hist_prod_sql('common_end_tokens_hist_l', 'common_end_tokens_hist_r')}"
+                f" < {X.d(1e-2)}",
+                X.d(4.0),
+            ),
+            (None, X.d(1 / 1.5)),
+        ]
+    )
+
+    # 8. postcode (training.py:489-546)
+    pc = X.cascade(
+        [
+            ("(postcode_l IS NULL AND postcode_r IS NULL)", "1.0D"),
+            ("postcode_l = postcode_r", X.d(3e6)),
+            ("levenshtein(postcode_l, postcode_r) <= 1", X.d(10000.0)),
+            ("levenshtein(postcode_l, postcode_r) <= 2", X.d(5000.0)),
+            (
+                "split_part(postcode_l, ' ', 1) = split_part(postcode_r, ' ', 1)",
+                X.d(3000.0),
+            ),
+            (
+                "split_part(postcode_l, ' ', 2) = split_part(postcode_r, ' ', 2)",
+                X.d(2000.0),
+            ),
+            (None, X.d(1 / 64)),
+        ]
+    )
+
+    return {
+        "bf_original_address_concat": oac,
+        "bf_flat_positional": fp,
+        "bf_numeric_token_1": n1,
+        "bf_numeric_token_2": n2,
+        "bf_numeric_token_3": n3,
+        "bf_token_rel_freq_arr_hist": tok_hist,
+        "bf_common_end_tokens": cet,
+        "bf_postcode": pc,
+    }
+
+
+def comparison_bfs(retain_product: bool = False, oac_sig: bool = False) -> dict[str, Column]:
+    """All 8 comparison BF columns (Column form of
+    :func:`comparison_bf_sqls` — one ``F.expr`` per comparison)."""
+    return {name: F.expr(sql) for name, sql in comparison_bf_sqls(oac_sig).items()}
+
+
+def _comparison_bfs_column_api(oac_sig: bool = False) -> dict[str, Column]:
+    """Former Column-API kernel builder, kept verbatim for the
+    construction-parity test (tests assert the SQL-text kernel and this
+    one produce identical values); not used on the hot path — building
+    it costs ~3s of Py4J round-trips.
     """
     c = F.col
 
@@ -426,14 +642,10 @@ def score_pairs(
             df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(None).cast("double"))
             df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
 
-    bfs = comparison_bfs(oac_sig=True)
-    for name, expr in bfs.items():
-        df = df.withColumn(name, expr)
+    bf_sqls = comparison_bf_sqls(oac_sig=True)
+    df = df.withColumns({name: F.expr(sql) for name, sql in bf_sqls.items()})
 
-    log_sum = None
-    for name in bfs:
-        term = F.log2(F.col(name))
-        log_sum = term if log_sum is None else log_sum + term
+    log_sum = " + ".join(f"log2({name})" for name in bf_sqls)
     # Pin the weight projection: CollapseProject + PushDownPredicate would
     # otherwise inline the ENTIRE scoring expression tree into every
     # downstream consumer — the threshold filter (which lands in the join
@@ -448,12 +660,11 @@ def score_pairs(
     # Spark 4 folds out-of-range rand comparisons to literals.)
     df = df.withColumn(
         "match_weight",
-        F.lit(PRIOR_LOG2_ODDS) + log_sum + F.lit(0.0) * F.rand(7),
+        F.expr(f"{X.d(PRIOR_LOG2_ODDS)} + {log_sum} + 0.0D * rand(7)"),
     )
     df = df.withColumn(
         "match_probability",
-        F.pow(F.lit(2.0), F.col("match_weight"))
-        / (F.lit(1.0) + F.pow(F.lit(2.0), F.col("match_weight"))),
+        F.expr("pow(2.0D, match_weight) / (1.0D + pow(2.0D, match_weight))"),
     )
     if threshold_match_weight is not None:
         df = df.filter(F.col("match_weight") > threshold_match_weight)

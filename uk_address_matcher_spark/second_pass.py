@@ -20,14 +20,17 @@ Representation choices vs the reference:
    array_sort'ed so the flattened order — and hence the cross-candidate
    bigram artifacts the reference also has — is DETERMINISTIC (DuckDB's
    array_agg order is accidental; collect_list order is too, so we pin it)
+ - the map/array algebra is emitted as SQL text (sqlexpr module doc:
+   Column-API construction costs ~ms of Py4J per operator; this pass is
+   hundreds of nodes rebuilt per linkage call)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from uk_address_matcher_spark.cleaning.steps import let, pin
+from uk_address_matcher_spark import sqlexpr as X
 
 REWARD_MULTIPLIER = 3.0
 PUNISHMENT_MULTIPLIER = 1.5
@@ -36,74 +39,74 @@ BIGRAM_PUNISHMENT_MULTIPLIER = 1.5
 MISSING_TOKEN_PENALTY = 0.1
 
 
-def _tokenise(addr: Column, pc: Column) -> Column:
-    return F.split(F.upper(F.trim(F.concat_ws(" ", addr, pc))), r"\s+")
+def _tokenise(addr: str, pc: str) -> str:
+    return f"split(upper(trim(concat_ws(' ', {addr}, {pc}))), '\\\\s+')"
 
 
-def _strip_common_end(addr: Column, common_end: Column) -> Column:
+def _strip_common_end(addr: str, common_end: str) -> str:
     """Drop up to TWO trailing tokens that appear in the messy record's
     common-end set (identify_distinguishing_tokens.py:59-88: double
     list_filter over the reversed token list)."""
 
-    def strip_once(arr: Column) -> Column:
-        return F.when(
-            (F.size(arr) > 0)
-            & F.array_contains(common_end, F.try_element_at(arr, F.lit(-1))),
-            F.slice(arr, 1, F.size(arr) - 1),
-        ).otherwise(arr)
+    def strip_once(arr: str) -> str:
+        return (
+            f"CASE WHEN size({arr}) > 0 AND array_contains({common_end}, "
+            f"try_element_at({arr}, -1)) "
+            f"THEN slice({arr}, 1, size({arr}) - 1) ELSE {arr} END"
+        )
 
-    toks = F.split(F.upper(F.trim(addr)), r"\s+")
-    return F.array_join(let(toks, lambda t: strip_once(strip_once(t))), " ")
+    toks = f"split(upper(trim({addr})), '\\\\s+')"
+    # let-bind each strip stage: strip_once references its input 4x
+    stripped = X.let(toks, lambda t: X.let(strip_once(t), strip_once))
+    return f"array_join({stripped}, ' ')"
 
 
-def _bigrams(tokens: Column) -> Column:
+def _bigrams(tokens: str) -> str:
     # zip-of-shifted-slices (identify_distinguishing_tokens.py:140-146) as
     # 'A B' strings; empty when fewer than 2 tokens
-    return F.when(
-        F.size(tokens) >= 2,
-        F.zip_with(
-            F.slice(tokens, 1, F.size(tokens) - 1),
-            F.slice(tokens, 2, F.size(tokens) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def body(t: str) -> str:
+        a, b = X.gensym("a"), X.gensym("b")
+        return (
+            f"CASE WHEN size({t}) >= 2 THEN "
+            f"zip_with(slice({t}, 1, size({t}) - 1), slice({t}, 2, size({t}) - 1), "
+            f"({a}, {b}) -> concat_ws(' ', {a}, {b})) "
+            f"ELSE cast(array() as array<string>) END"
+        )
+
+    return X.let(tokens, body)
 
 
-def _hist(arr: Column) -> Column:
+def _hist(arr: str) -> str:
     """array<string> -> map<string, long> multiset counts (NULL if empty,
     matching DuckDB list_aggregate 'histogram')."""
 
-    def h(a: Column) -> Column:
-        m = F.map_from_entries(
-            F.transform(
-                F.array_distinct(a),
-                lambda t: F.struct(
-                    t.alias("key"),
-                    F.size(F.filter(a, lambda y: y == t)).cast("long").alias("value"),
-                ),
-            )
+    def h(a: str) -> str:
+        t, y = X.gensym("t"), X.gensym("y")
+        m = (
+            f"map_from_entries(transform(array_distinct({a}), {t} -> "
+            f"named_struct('key', {t}, 'value', "
+            f"cast(size(filter({a}, {y} -> {y} = {t})) as bigint))))"
         )
-        return F.when(F.size(a) > 0, m)
+        return f"CASE WHEN size({a}) > 0 THEN {m} END"
 
-    return let(arr, h)
+    return X.let(arr, h)
 
 
-def _filter_map_keys(m: Column, keys: Column) -> Column:
-    return F.map_from_entries(
-        F.filter(F.map_entries(m), lambda e: F.array_contains(keys, e["key"]))
+def _filter_map_keys(m: str, keys: str) -> str:
+    e = X.gensym("e")
+    return (
+        f"map_from_entries(filter(map_entries({m}), "
+        f"{e} -> array_contains({keys}, {e}.key)))"
     )
 
 
-def _map_sum_inv_sq(m: Column) -> Column:
+def _map_sum_inv_sq(m: str) -> str:
     # sum over map values of 1/v^2 (the reward kernel,
     # identify_distinguishing_tokens.py:384-387); 0 for empty/null maps
-    return F.coalesce(
-        F.aggregate(
-            F.map_values(m),
-            F.lit(0.0),
-            lambda acc, v: acc + F.lit(1.0) / (v.cast("double") * v.cast("double")),
-        ),
-        F.lit(0.0),
+    acc, v = X.gensym("acc"), X.gensym("v")
+    return (
+        f"coalesce(aggregate(map_values({m}), 0.0D, ({acc}, {v}) -> "
+        f"{acc} + 1.0D / (cast({v} as double) * cast({v} as double))), 0.0D)"
     )
 
 
@@ -148,13 +151,17 @@ def improve_predictions_using_distinguishing_tokens(
     # tokens_in_block_l and the output original_address_concat_* are all
     # built from the UN-stripped l side
     # (identify_distinguishing_tokens.py:86-270).
-    common_end = F.coalesce(
-        F.transform(F.col("common_end_tokens_hist_r"), lambda e: e["tok"]),
-        F.array().cast("array<string>"),
-    )
-    top = top.withColumn("__cet_r", common_end).withColumn(
+    cet_e = X.gensym("e")
+    top = top.withColumns(
+        {
+            "__cet_r": F.expr(
+                f"coalesce(transform(common_end_tokens_hist_r, "
+                f"{cet_e} -> {cet_e}.tok), cast(array() as array<string>))"
+            )
+        }
+    ).withColumn(
         "addr_r_stripped",
-        _strip_common_end(F.col("original_address_concat_r"), F.col("__cet_r")),
+        F.expr(_strip_common_end("original_address_concat_r", "__cet_r")),
     )
 
     # Step 4-5: per-block aggregates keyed by unique_id_r. The block
@@ -167,55 +174,46 @@ def improve_predictions_using_distinguishing_tokens(
     # the cache inside one job, each recomputing the whole upstream
     # scoring pipeline. The groupBy and join share the top-n window's
     # unique_id_r hash partitioning, so neither adds an exchange.
-    per_pair = top.select(
+    per_pair = top.selectExpr(
         "unique_id_r",
         "unique_id_l",
         "match_weight",
         "match_probability",
-        F.col("original_address_concat_l"),
-        F.col("original_address_concat_r"),
-        F.col("postcode_l"),
-        F.col("postcode_r"),
-        _tokenise(F.col("original_address_concat_l"), F.col("postcode_l")).alias("tokens_l"),
-        _tokenise(F.col("addr_r_stripped"), F.col("postcode_r")).alias("tokens_r"),
+        "original_address_concat_l",
+        "original_address_concat_r",
+        "postcode_l",
+        "postcode_r",
+        f"{_tokenise('original_address_concat_l', 'postcode_l')} AS tokens_l",
+        f"{_tokenise('addr_r_stripped', 'postcode_r')} AS tokens_r",
     ).cache()
     per_pair.count()
 
+    s = X.gensym("s")
     block_aggs = (
         per_pair.groupBy("unique_id_r")
         .agg(
-            F.first("tokens_r").alias("tokens_r"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("unique_id_l", "tokens_l"))
-                    ),
-                    lambda s: s["tokens_l"],
-                )
+            F.expr("first(tokens_r)").alias("tokens_r"),
+            F.expr(
+                f"flatten(transform(array_sort(collect_list("
+                f"struct(unique_id_l, tokens_l))), {s} -> {s}.tokens_l))"
             ).alias("tokens_in_block_l"),
         )
-        .select(
+        .selectExpr(
             "unique_id_r",
-            pin(_hist(F.col("tokens_in_block_l")), 11).alias(
-                "hist_all_tokens_in_block_l"
-            ),
-            pin(_hist(_bigrams(F.col("tokens_in_block_l"))), 12).alias(
-                "hist_all_bigrams_in_block_l"
-            ),
-            pin(_bigrams(F.col("tokens_r")), 20).alias("bigrams_r"),
+            f"{X.pin(_hist('tokens_in_block_l'), 11)} AS hist_all_tokens_in_block_l",
+            f"{X.pin(_hist(_bigrams('tokens_in_block_l')), 12)} AS hist_all_bigrams_in_block_l",
+            f"{X.pin(_bigrams('tokens_r'), 20)} AS bigrams_r",
             "tokens_r",
         )
-        .select(
+        .selectExpr(
             "unique_id_r",
             "bigrams_r",
             "hist_all_tokens_in_block_l",
             "hist_all_bigrams_in_block_l",
-            _filter_map_keys(
-                F.col("hist_all_tokens_in_block_l"), F.col("tokens_r")
-            ).alias("hist_overlapping_tokens_r_block_l"),
-            _filter_map_keys(
-                F.col("hist_all_bigrams_in_block_l"), F.col("bigrams_r")
-            ).alias("hist_overlapping_bigrams_r_block_l"),
+            f"{_filter_map_keys('hist_all_tokens_in_block_l', 'tokens_r')}"
+            " AS hist_overlapping_tokens_r_block_l",
+            f"{_filter_map_keys('hist_all_bigrams_in_block_l', 'bigrams_r')}"
+            " AS hist_overlapping_bigrams_r_block_l",
         )
     )
     df = per_pair.join(block_aggs, "unique_id_r")
@@ -224,134 +222,124 @@ def improve_predictions_using_distinguishing_tokens(
     # consumed by several later expressions — some inside HOF lambdas,
     # where an inlined definition would re-evaluate per ELEMENT — so each
     # is pinned (computed once per row, referenced thereafter).
-    df = df.withColumn("bigrams_l", pin(_bigrams(F.col("tokens_l")), 21))
-    df = (
-        df.withColumn(
-            "overlapping_tokens_this_l_and_r",
-            pin(
-                _filter_map_keys(
-                    F.col("hist_overlapping_tokens_r_block_l"), F.col("tokens_l")
-                ),
-                13,
+    t1, t2 = X.gensym("t"), X.gensym("t")
+    b1 = X.gensym("b")
+    df = df.withColumn("bigrams_l", F.expr(X.pin(_bigrams("tokens_l"), 21)))
+    df = df.withColumns(
+        {
+            "overlapping_tokens_this_l_and_r": F.expr(
+                X.pin(
+                    _filter_map_keys("hist_overlapping_tokens_r_block_l", "tokens_l"),
+                    13,
+                )
             ),
-        )
-        .withColumn(
-            "tokens_r_not_in_l",
-            pin(
-                F.filter(
-                    F.col("tokens_r"),
-                    lambda t: ~F.array_contains(F.col("tokens_l"), t),
-                ),
-                22,
+            "tokens_r_not_in_l": F.expr(
+                X.pin(
+                    f"filter(tokens_r, {t1} -> NOT array_contains(tokens_l, {t1}))",
+                    22,
+                )
             ),
-        )
-        .withColumn(
-            "missing_tokens",
-            pin(
-                F.filter(
-                    F.col("tokens_l"),
-                    lambda t: ~F.array_contains(F.col("tokens_r"), t),
-                ),
-                23,
+            "missing_tokens": F.expr(
+                X.pin(
+                    f"filter(tokens_l, {t2} -> NOT array_contains(tokens_r, {t2}))",
+                    23,
+                )
             ),
-        )
-        .withColumn(
-            "overlapping_bigrams_this_l_and_r",
-            pin(
-                _filter_map_keys(
-                    F.col("hist_overlapping_bigrams_r_block_l"), F.col("bigrams_l")
-                ),
-                15,
+            "overlapping_bigrams_this_l_and_r": F.expr(
+                X.pin(
+                    _filter_map_keys(
+                        "hist_overlapping_bigrams_r_block_l", "bigrams_l"
+                    ),
+                    15,
+                )
             ),
-        )
-        .withColumn(
-            "bigrams_r_not_in_l",
-            pin(
-                F.filter(
-                    F.col("bigrams_r"),
-                    lambda b: ~F.array_contains(F.col("bigrams_l"), b),
-                ),
-                24,
+            "bigrams_r_not_in_l": F.expr(
+                X.pin(
+                    f"filter(bigrams_r, {b1} -> NOT array_contains(bigrams_l, {b1}))",
+                    24,
+                )
             ),
-        )
+        }
     )
 
     # Step 7: elsewhere-in-block maps + unigram-explained bigram filtering
-    df = df.withColumn(
-        "tokens_elsewhere_in_block_but_not_this",
-        pin(
-            _filter_map_keys(
-                F.col("hist_all_tokens_in_block_l"), F.col("tokens_r_not_in_l")
+    df = df.withColumns(
+        {
+            "tokens_elsewhere_in_block_but_not_this": F.expr(
+                X.pin(
+                    _filter_map_keys(
+                        "hist_all_tokens_in_block_l", "tokens_r_not_in_l"
+                    ),
+                    14,
+                )
             ),
-            14,
-        ),
-    ).withColumn(
-        "bigrams_elsewhere_in_block_but_not_this",
-        pin(
-            _filter_map_keys(
-                F.col("hist_all_bigrams_in_block_l"), F.col("bigrams_r_not_in_l")
+            "bigrams_elsewhere_in_block_but_not_this": F.expr(
+                X.pin(
+                    _filter_map_keys(
+                        "hist_all_bigrams_in_block_l", "bigrams_r_not_in_l"
+                    ),
+                    16,
+                )
             ),
-            16,
-        ),
+        }
     )
 
-    def bigram_not_explained(unigram_map: Column):
+    def bigram_not_explained(bigram_map: str, unigram_map: str) -> str:
         # keep bigram entries NOT already explained by both unigram counts
         # (identify_distinguishing_tokens.py:328-361)
-        def pred(e):
-            t1 = F.split_part(e["key"], F.lit(" "), F.lit(1))
-            t2 = F.split_part(e["key"], F.lit(" "), F.lit(2))
-            l1 = F.try_element_at(unigram_map, t1)
-            l2 = F.try_element_at(unigram_map, t2)
-            explained = (
-                l1.isNotNull() & (l1 <= e["value"]) & l2.isNotNull() & (l2 <= e["value"])
-            )
-            return ~explained
+        e = X.gensym("e")
+        l1 = f"try_element_at({unigram_map}, split_part({e}.key, ' ', 1))"
+        l2 = f"try_element_at({unigram_map}, split_part({e}.key, ' ', 2))"
+        explained = (
+            f"({l1} IS NOT NULL AND {l1} <= {e}.value "
+            f"AND {l2} IS NOT NULL AND {l2} <= {e}.value)"
+        )
+        return (
+            f"map_from_entries(filter(map_entries({bigram_map}), "
+            f"{e} -> NOT {explained}))"
+        )
 
-        return pred
-
-    df = df.withColumn(
-        "overlapping_bigrams_this_l_and_r_filtered",
-        pin(
-            F.map_from_entries(
-                F.filter(
-                    F.map_entries(F.col("overlapping_bigrams_this_l_and_r")),
-                    bigram_not_explained(F.col("overlapping_tokens_this_l_and_r")),
+    df = df.withColumns(
+        {
+            "overlapping_bigrams_this_l_and_r_filtered": F.expr(
+                X.pin(
+                    bigram_not_explained(
+                        "overlapping_bigrams_this_l_and_r",
+                        "overlapping_tokens_this_l_and_r",
+                    ),
+                    17,
                 )
             ),
-            17,
-        ),
-    ).withColumn(
-        "bigrams_elsewhere_in_block_but_not_this_filtered",
-        pin(
-            F.map_from_entries(
-                F.filter(
-                    F.map_entries(F.col("bigrams_elsewhere_in_block_but_not_this")),
-                    bigram_not_explained(F.col("tokens_elsewhere_in_block_but_not_this")),
+            "bigrams_elsewhere_in_block_but_not_this_filtered": F.expr(
+                X.pin(
+                    bigram_not_explained(
+                        "bigrams_elsewhere_in_block_but_not_this",
+                        "tokens_elsewhere_in_block_but_not_this",
+                    ),
+                    18,
                 )
             ),
-            18,
-        ),
+        }
     )
 
     # Step 8: adjusted weight (identify_distinguishing_tokens.py:376-441)
     adj = (
-        _map_sum_inv_sq(F.col("overlapping_tokens_this_l_and_r")) * REWARD_MULTIPLIER
-        - F.size(F.map_keys(F.col("tokens_elsewhere_in_block_but_not_this")))
-        * PUNISHMENT_MULTIPLIER
-        - F.size(F.col("missing_tokens")) * MISSING_TOKEN_PENALTY
+        f"{_map_sum_inv_sq('overlapping_tokens_this_l_and_r')} * {X.d(REWARD_MULTIPLIER)}"
+        f" - size(map_keys(tokens_elsewhere_in_block_but_not_this))"
+        f" * {X.d(PUNISHMENT_MULTIPLIER)}"
+        f" - size(missing_tokens) * {X.d(MISSING_TOKEN_PENALTY)}"
     )
     if use_bigrams:
         adj = (
-            adj
-            + _map_sum_inv_sq(F.col("overlapping_bigrams_this_l_and_r_filtered"))
-            * BIGRAM_REWARD_MULTIPLIER
-            - F.size(F.map_keys(F.col("bigrams_elsewhere_in_block_but_not_this_filtered")))
-            * BIGRAM_PUNISHMENT_MULTIPLIER
+            f"{adj}"
+            f" + {_map_sum_inv_sq('overlapping_bigrams_this_l_and_r_filtered')}"
+            f" * {X.d(BIGRAM_REWARD_MULTIPLIER)}"
+            f" - size(map_keys(bigrams_elsewhere_in_block_but_not_this_filtered))"
+            f" * {X.d(BIGRAM_PUNISHMENT_MULTIPLIER)}"
         )
 
     return (
-        df.withColumn("mw_adjustment", pin(adj, 19))
+        df.withColumn("mw_adjustment", F.expr(X.pin(adj, 19)))
         .withColumnRenamed("match_weight", "match_weight_original")
         .withColumn(
             "match_weight", F.col("match_weight_original") + F.col("mw_adjustment")

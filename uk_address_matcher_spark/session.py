@@ -14,6 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """Prefer a tmpfs for shuffle/spill files when one is available.
+
+    Sort-shuffle writes one data+index file pair per map task; on slow
+    filesystems the open/close metadata cost dominates for small
+    shuffles (measured here: 14s of cumulative write time for 0.8MB of
+    shuffle data on the root disk vs microseconds on tmpfs). On a real
+    cluster this is the job of fast local NVMe — locally /dev/shm is the
+    equivalent. Explicit SPARK_LOCAL_DIRS always wins.
+    """
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, f"spark-local-{os.getuid()}")
+    return None
+
+
 def get_spark(
     app_name: str = "uk_address_matcher_spark",
     master: str | None = None,
@@ -39,6 +57,9 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    local_dir = _default_local_dir()
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

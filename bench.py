@@ -13,6 +13,14 @@ Headline set:
  - pricing_summary: relational aggregate over lineitem
  - doc_quality_fingerprint: text-analysis scan
 
+Noise discipline (this box drifts ±30-40% with invisible host load):
+the whole suite runs TWICE, interleaved, and each query's recorded
+time is the min of its two runs — the same methodology as
+tools/scaling_bench.py. The record also carries both raw runs, the
+canary values (knn_bruteforce / pricing_summary touch no linkage code,
+so a drift there is host noise, not a plan change), and /proc/loadavg
+at start, so a noisy record is self-identifying.
+
 Scaling-efficiency evidence (N vs 4N cores) is produced separately by
 tools/scaling_bench.py -> BENCH/BASELINE.md.
 """
@@ -28,6 +36,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# quiet-box reference values for the two canary queries (sf0.1,
+# local[32]); a min-of-2 exceeding the tolerance band means even the
+# better run was noisy and the record should not be trusted as a plan
+# regression signal
+CANARY_REF = {"knn_bruteforce": 2.6, "pricing_summary": 0.34}
+CANARY_TOL = 1.3
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -38,7 +53,7 @@ def corpus_size(sf: float) -> int:
     return max(int(500_000 * sf), 1000)
 
 
-def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
+def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2) -> dict:
     # before the JVM launches: the box has plenty of RAM and an evicted
     # cache silently re-runs its whole lineage (driver memory cannot be
     # raised after the first session)
@@ -57,6 +72,11 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
     from uk_address_matcher_spark.textops.dedup import exact_duplicates, minhash_lsh_pairs
     from uk_address_matcher_spark.textops.similarity import brute_force_topk
 
+    try:
+        loadavg_start = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        loadavg_start = None
+
     sf = _sf_from_dir(sf_dir)
     n = corpus_n if corpus_n is not None else corpus_size(sf)
     spark = get_spark(
@@ -65,21 +85,19 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
         shuffle_partitions=max(2 * cpus, 8),
     )
 
-    timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
-    # --- flagship: linkage at scale -------------------------------------
+    # --- fixed inputs (outside the timers) -------------------------------
     canon_docs, messy_docs, labels = grid_documents(spark, n, dup_factor=1)
     canon = extract_addresses(canon_docs).cache()
     messy = extract_addresses(messy_docs).cache()
-    canon.count(), messy.count()  # corpus generation outside the timer
+    canon.count(), messy.count()
 
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     def link():
         side = build_side_tables(
@@ -100,53 +118,84 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None) -> dict:
             "overwrite"
         ).parquet(pred_path)
         spark.catalog.clearCache()
+        # the corpus caches are re-materialised for the next rep; keep the
+        # timed region identical across reps
         slim = spark.read.parquet(pred_path)
-        meta["n_predictions"] = slim.count()
+        n_pred = slim.count()
         clusters = cluster_predictions(slim, threshold_match_weight=5.0)
         meta["n_cluster_rows"] = clusters.count()
-        return slim
+        return n_pred
 
-    timed("addr_link_2pass", link)
-    meta["link_docs_per_sec"] = round(2 * n / timings["addr_link_2pass"], 1)
+    suite = [
+        ("addr_link_2pass", link),
+        ("dedup_exact", lambda: exact_duplicates(docs, min_group_size=1).count()),
+        (
+            "dedup_minhash_lsh",
+            lambda: minhash_lsh_pairs(docs, verify_threshold=0.3).count(),
+        ),
+        (
+            "knn_bruteforce",
+            lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
+        ),
+        (
+            "pricing_summary",
+            lambda: li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .collect(),
+        ),
+        (
+            "doc_quality_fingerprint",
+            lambda: quality_features(docs).join(fingerprint(docs), "doc_id").count(),
+        ),
+    ]
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-    docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    emb.count()
+    runs: list[dict[str, float]] = []
+    n_pred_seen = set()
+    for rep in range(reps):
+        timings: dict[str, float] = {}
+        for name, fn in suite:
+            # link() clears ALL caches; re-pin the shared inputs so every
+            # rep times the same work
+            if name == "addr_link_2pass":
+                canon.cache().count(), messy.cache().count()
+            t0 = time.time()
+            out = fn()
+            timings[name] = round(time.time() - t0, 3)
+            if name == "addr_link_2pass":
+                n_pred_seen.add(out)
+                docs.cache().count(), emb.cache().count()
+        runs.append(timings)
 
-    timed("dedup_exact", lambda: exact_duplicates(docs, min_group_size=1).count())
-    timed(
-        "dedup_minhash_lsh",
-        lambda: minhash_lsh_pairs(docs, verify_threshold=0.3).count(),
-    )
-    timed(
-        "knn_bruteforce",
-        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).count(),
-    )
+    if len(n_pred_seen) != 1:
+        raise AssertionError(f"addr_link_2pass nondeterministic: {n_pred_seen}")
+    meta["n_predictions"] = n_pred_seen.pop()
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    timed(
-        "pricing_summary",
-        lambda: li.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
-        .collect(),
-    )
-    timed(
-        "doc_quality_fingerprint",
-        lambda: quality_features(docs).join(fingerprint(docs), "doc_id").count(),
-    )
+    best = {name: min(r[name] for r in runs) for name, _ in suite}
+    canaries = {
+        q: {
+            "best": best[q],
+            "ref": CANARY_REF[q],
+            "ok": best[q] <= CANARY_REF[q] * CANARY_TOL,
+        }
+        for q in CANARY_REF
+    }
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(best.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
+        "runs": runs,
+        "canaries": canaries,
+        "canary_ok": all(c["ok"] for c in canaries.values()),
+        "loadavg_start": loadavg_start,
         "sf": sf,
         "cpus": cpus,
         "corpus_docs": 2 * n,
-        "link_docs_per_sec": meta.get("link_docs_per_sec"),
+        "link_docs_per_sec": round(2 * n / best["addr_link_2pass"], 1),
         "n_predictions": meta.get("n_predictions"),
+        "n_cluster_rows": meta.get("n_cluster_rows"),
     }
     spark.stop()
     return result

@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its default (false). Enabling it lets AQE coalesce
+        # cached builds by BYTES, which collapsed the second pass's
+        # per_pair cache (50MB but ~100 CPU-core-s of downstream map
+        # algebra) to 13 partitions — a 2x wall regression. Small cached
+        # frames size their own partitioning explicitly instead
+        # (clustering.py loop_parts).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # deterministic, locale-independent string comparison

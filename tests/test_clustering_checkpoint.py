@@ -64,6 +64,67 @@ def test_checkpoint_manifest_and_resume(spark, tmp_path):
     assert os.path.getmtime(os.path.join(base, "_manifest.json")) == before_mtime
 
 
+def test_resume_refuses_cross_format_version(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from uk_address_matcher_spark.checkpoint import FORMAT_VERSION
+
+    base = str(tmp_path / "old_ckpt")
+    ck = CheckpointManager(spark, base)
+    ck.checkpoint(spark.range(3), "pass_a")
+    # simulate a manifest written by an older code version
+    mp = os.path.join(base, "_manifest.json")
+    m = json.load(open(mp))
+    m["format_version"] = FORMAT_VERSION - 1
+    json.dump(m, open(mp, "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        CheckpointManager(spark, base, resume=True)
+    # non-resume rebuild is allowed and stamps the current version
+    ck3 = CheckpointManager(spark, base)
+    assert ck3.manifest["format_version"] == FORMAT_VERSION
+
+
+def test_second_pass_resumes_from_pass2_per_pair(spark, tmp_path):
+    """Kill-between-passes contract: with a checkpointer, the rescoring
+    pass persists its per_pair barrier durably, and a resumed run serves
+    pass 1 AND pass2_per_pair from storage instead of recomputing."""
+    from uk_address_matcher_spark.blocking import block_on
+    from uk_address_matcher_spark.corpus import (
+        domain_token_frequencies,
+        edge_case_flat_rows,
+    )
+    from uk_address_matcher_spark.linkage import build_side_tables, link_addresses
+
+    rows, _ = edge_case_flat_rows()
+    flat = spark.createDataFrame(
+        rows,
+        "unique_id string, address_concat string, postcode string, side string, test_block int",
+    )
+    canon = flat.filter(F.col("side") == "canonical").drop("side")
+    messy = flat.filter(F.col("side") == "messy").drop("side")
+    side = build_side_tables(
+        spark, canon, rel_tok_freq=domain_token_frequencies(spark)
+    )
+    base = str(tmp_path / "link_ck")
+    ck = CheckpointManager(spark, base)
+    out1 = link_addresses(
+        canon, messy, side, rules=block_on(["test_block"]), checkpointer=ck
+    )
+    n1 = out1.count()
+    assert ck.has("pass1_candidates") and ck.has("pass2_per_pair")
+
+    # "killed after pass 2's barrier": a resume run must reuse both
+    # stored passes — corrupt the inputs so any recompute would differ
+    ck2 = CheckpointManager(spark, base, resume=True)
+    out2 = link_addresses(
+        canon.limit(0), messy.limit(0), side, rules=block_on(["test_block"]),
+        checkpointer=ck2,
+    )
+    assert out2.count() == n1, "resume must serve stored pass artifacts"
+
+
 def test_connected_components_with_checkpointer(spark, tmp_path):
     ck = CheckpointManager(spark, str(tmp_path / "cc"))
     edges = spark.createDataFrame(

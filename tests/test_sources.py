@@ -120,6 +120,10 @@ def test_sample_addresses_deterministic(spark):
     assert a == b  # same seed -> same records, same order
     assert set(a) != set(c)  # different seed -> different sample
     assert len(a) == 10
+    # partition-independence: the same seed must pick the same records
+    # whatever the upstream layout (content-hash key, not rand(seed))
+    d = [r["unique_id"] for r in sample_addresses(df.repartition(7), 10, seed=7).collect()]
+    assert a == d
 
 
 def test_repartition_by_postcode_locality(spark):

@@ -141,12 +141,23 @@ def test_stream_link_cleans_canonical_once(spark, tmp_path, monkeypatch):
 
 
 def test_arrival_stats_plan_is_streaming(spark, tmp_path):
+    from pyspark.sql import functions as F
+
     flat = spark.createDataFrame(
-        _flat_rows(), "unique_id string, address_concat string, postcode string"
+        [
+            (uid, addr, pc, f"2024-01-01 00:{i % 50:02d}:00")
+            for i, (uid, addr, pc) in enumerate(_flat_rows())
+        ],
+        "unique_id string, address_concat string, postcode string, event_time string",
     )
     in_dir = str(tmp_path / "landing3")
     flat.write.mode("overwrite").parquet(in_dir)
-    stream = read_address_stream(spark, in_dir)
+    stream = (
+        spark.readStream.schema(
+            "unique_id string, address_concat string, postcode string, "
+            "event_time string"
+        ).parquet(in_dir)
+    )
     agg = arrival_stats(stream)
     assert agg.isStreaming
     q = (
@@ -157,10 +168,21 @@ def test_arrival_stats_plan_is_streaming(spark, tmp_path):
         .start()
     )
     _await(q)
-    # append mode emits only watermark-closed windows; with one batch of
-    # current-timestamp events nothing finalizes — the contract here is
-    # that the watermarked streaming aggregation RUNS end to end
-    spark.sql("SELECT * FROM arrivals").collect()
+    # append mode emits only watermark-closed windows; explicit event
+    # times spanning 50 minutes with a 10-minute watermark close the
+    # early windows deterministically (no wall-clock dependence)
+    rows = spark.sql("SELECT * FROM arrivals").collect()
+    assert len(rows) > 0, "expected watermark-closed windows with explicit event time"
+
+
+def test_arrival_stats_requires_event_time(spark):
+    import pytest
+
+    flat = spark.createDataFrame(
+        _flat_rows(), "unique_id string, address_concat string, postcode string"
+    )
+    with pytest.raises(ValueError, match="event_time"):
+        arrival_stats(flat)
 
 
 def test_stream_deduplicate_stateful(spark, tmp_path):

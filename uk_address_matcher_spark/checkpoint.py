@@ -27,6 +27,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Bumped whenever a pass's stored SCHEMA or SEMANTICS change (v2: pass-1
+# artifact renamed predictions_pass1 -> pass1_candidates when it became
+# the pruned candidate set, and histograms moved from map to array
+# encoding). Resume across versions is refused: silently feeding an old
+# manifest's artifacts into new code produces wrong results, not errors.
+FORMAT_VERSION = 2
+
 
 class CheckpointManager:
     def __init__(
@@ -47,6 +54,16 @@ class CheckpointManager:
         os.makedirs(self.base_path, exist_ok=True)
         self.manifest_path = os.path.join(self.base_path, "_manifest.json")
         self.manifest = self._load_manifest()
+        stored = self.manifest.get("format_version")
+        if resume and self.manifest["passes"] and stored != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint manifest at {self.manifest_path} has format_version="
+                f"{stored!r} but this code writes {FORMAT_VERSION}: pass schemas/"
+                "semantics changed between versions, so resuming would feed stale "
+                "artifacts into incompatible passes. Delete the checkpoint dir or "
+                "rerun with resume=False to rebuild."
+            )
+        self.manifest["format_version"] = FORMAT_VERSION
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -118,11 +135,17 @@ class CheckpointManager:
                     for f in glob.glob(os.path.join(path, "part-*"))
                 ]
                 if counts:
+                    # metrics_source disambiguates the partition notion:
+                    # footers count part-* FILES (empty partitions write
+                    # no file; a task may emit several), the scan counts
+                    # spark_partition_id — skew numbers are only
+                    # comparable within one source
                     return {
                         "n_rows": int(sum(counts)),
                         "n_partitions": len(counts),
                         "max_partition_rows": int(max(counts)),
                         "min_partition_rows": int(min(counts)),
+                        "metrics_source": "parquet_footers",
                     }
             except Exception:
                 pass
@@ -142,4 +165,5 @@ class CheckpointManager:
             "n_partitions": int(parts["n_partitions"] or 0),
             "max_partition_rows": int(parts["max_partition_rows"] or 0),
             "min_partition_rows": int(parts["min_partition_rows"] or 0),
+            "metrics_source": "spark_partition_scan",
         }

@@ -142,8 +142,11 @@ def bipartite_components(
 
     Contract: the src and dst id NAMESPACES must be disjoint (the linkage
     pipeline guarantees this — canonical and messy ids come from different
-    datasets). An id value appearing on both sides is treated as one node,
-    like connected_components; see cluster_predictions(check_disjoint=).
+    datasets). An id value appearing on BOTH sides violates the contract
+    and yields WRONG results: propagation never links a value's
+    canonical-side and messy-side roles, so components that overlap only
+    through such an id stay split. cluster_predictions verifies
+    disjointness by default (check_disjoint=True) before calling this.
 
     ENDGAME-FIRST: match graphs are near-star (messy records point at a
     handful of canonical candidates), so the label-conflict pairs
@@ -204,7 +207,12 @@ def bipartite_components(
         if checkpointer is not None:
             lab = checkpointer.checkpoint(lab, "bcc_round_0_endgame")
             m_lab = e0.join(lab, "c").groupBy("m").agg(F.min("lab").alias("lab"))
-        return _finalise(lab, m_lab)
+        # materialise the (narrow) result so e0's cache can be released
+        # NOW instead of leaking executor storage for the session's
+        # lifetime (its lineage feeds both the lab and m_lab branches)
+        out = _finalise(lab, m_lab).localCheckpoint()
+        e0.unpersist()
+        return out
 
     n_edges = e0.count()
     # size the loop's shuffle width to the data: label frames are two
@@ -306,7 +314,13 @@ def bipartite_components(
     else:
         raise RuntimeError(f"bipartite_components: no convergence in {max_rounds} rounds")
 
-    return _finalise(lab, m_lab)
+    out = _finalise(lab, m_lab).localCheckpoint()
+    # release the loop's persisted frames (same leak class as e0 above);
+    # m_agg backs m_lab in the converged branch, so only after the
+    # materialisation above
+    e.unpersist()
+    m_agg.unpersist()
+    return out
 
 
 def _finalise(lab: DataFrame, m_lab: DataFrame) -> DataFrame:
@@ -323,7 +337,7 @@ def cluster_predictions(
     df_predict: DataFrame,
     threshold_match_weight: float = 5.0,
     checkpointer=None,
-    check_disjoint: bool = False,
+    check_disjoint: bool = True,
 ) -> DataFrame:
     """(unique_id, cluster_id) for every id in an above-threshold pair.
 
@@ -333,10 +347,12 @@ def cluster_predictions(
 
     CONTRACT: unique_id_l and unique_id_r values must come from disjoint
     id namespaces (true for link_addresses output — the two sides are
-    different datasets). An id appearing on both sides would be clustered
-    as a single node and emitted once per side. ``check_disjoint=True``
-    verifies this with one extra job and raises on overlap; it is off by
-    default because the check is a full semi-join over the pair table.
+    different datasets). An id appearing on both sides makes the
+    bipartite propagation WRONG (its two roles are never linked, so
+    components stay split) — which is why ``check_disjoint`` defaults to
+    True: one narrow semi-join over the above-threshold edges (ids only,
+    limit-guarded collect) that raises on overlap. Set False only when
+    the caller guarantees disjointness and the extra job matters.
     """
     edges = df_predict.filter(
         F.col("match_weight") >= threshold_match_weight

@@ -266,14 +266,24 @@ def link_cleaned(
         pred, cl, cr, retain_matching_columns=not second_pass
     )
     if checkpointer is not None:
-        pred = checkpointer.checkpoint(pred, "predictions_pass1")
+        # the artifact NAME states its semantics: with a second pass the
+        # durable pass-1 output is the PRUNED rescoring candidate set
+        # (threshold -20 + top-5), not the full threshold predictions —
+        # a resume consumer must not mistake one for the other (the
+        # manifest format_version additionally refuses cross-version
+        # resume, checkpoint.FORMAT_VERSION)
+        pred = checkpointer.checkpoint(
+            pred, "pass1_candidates" if second_pass else "predictions_pass1"
+        )
     # no cache in the in-memory path: the second pass reads the
     # predictions exactly once (its own per_pair cache covers the
     # multi-branch reuse), so a pass-1 cache would only pay an extra
     # 10^6-row encode for nothing
     if not second_pass:
         return _tag_source_datasets(pred)
-    improved = improve_predictions_using_distinguishing_tokens(pred)
+    improved = improve_predictions_using_distinguishing_tokens(
+        pred, checkpointer=checkpointer
+    )
     if checkpointer is not None:
         improved = checkpointer.checkpoint(improved, "predictions_pass2")
     return _tag_source_datasets(improved)

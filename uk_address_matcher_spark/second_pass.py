@@ -140,6 +140,7 @@ def improve_predictions_using_distinguishing_tokens(
     match_weight_threshold: float = -20.0,
     top_n_matches: int = 5,
     use_bigrams: bool = True,
+    checkpointer=None,
 ) -> DataFrame:
     # Step 1-2: threshold + top-n per messy record
     top = prune_candidates(df_predict, match_weight_threshold, top_n_matches)
@@ -185,8 +186,16 @@ def improve_predictions_using_distinguishing_tokens(
         "postcode_r",
         f"{_tokenise('original_address_concat_l', 'postcode_l')} AS tokens_l",
         f"{_tokenise('addr_r_stripped', 'postcode_r')} AS tokens_r",
-    ).cache()
-    per_pair.count()
+    )
+    if checkpointer is not None:
+        # under a checkpointer the barrier is DURABLE: the rescoring pass
+        # becomes resumable mid-way (a kill between pass 1 and pass 2
+        # restarts from pass2_per_pair, not from blocking) and the wide
+        # tokenised rows leave executor memory
+        per_pair = checkpointer.checkpoint(per_pair, "pass2_per_pair")
+    else:
+        per_pair = per_pair.cache()
+        per_pair.count()
 
     s = X.gensym("s")
     block_aggs = (

@@ -88,7 +88,13 @@ def read_addresses_json(
     ).filter(F.col("country").isin(UK_COUNTRIES) | F.col("country").isNull())
     from pyspark.sql import Window
 
-    w = Window.orderBy("company_number")
+    # full deterministic ordering: company_number alone is not unique in
+    # dirty registry extracts, and a tie broken arbitrarily would hand
+    # the SAME record a DIFFERENT unique_id on re-ingestion
+    w = Window.orderBy(
+        "company_number", "postal_code", "premises", "address_line_1",
+        "address_line_2", "locality", "region",
+    )
     return picked.withColumn("__rn", F.row_number().over(w)).select(
         F.concat(F.lit(f"{file_identifier}_"), F.col("__rn").cast("string")).alias(
             "unique_id"
@@ -110,11 +116,15 @@ def sample_addresses(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Deterministic random sample of ``n`` rows — the reference's
     `ORDER BY random() LIMIT n` workflow (examples/fhrs/match_fhrs_to_os.py:41-42,
     scripts/epc_accuracy_from_labels.py:34) with a seed so reruns pick the
-    SAME records: the order key is rand(seed), which Spark evaluates
-    deterministically per row for a fixed partitioning; tie-broken by the
-    row's own id-ish first column is unnecessary since rand collisions are
-    measure-zero at double precision."""
-    return df.orderBy(F.rand(seed)).limit(n)
+    SAME records. The order key is a CONTENT hash (xxhash64 over the row's
+    columns + seed), not rand(seed): Spark seeds rand per (partition,
+    row-offset), so a rand-ordered sample silently changes whenever the
+    upstream partitioning does — content hashing makes the same seed pick
+    the same rows under any partitioning or cluster layout (the same
+    property hash_sample has). Ties are only possible between fully
+    identical rows, where either pick is the same sample."""
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    return df.orderBy(key).limit(n)
 
 
 def hash_sample(

@@ -178,17 +178,29 @@ def arrival_stats(
     stream: DataFrame,
     watermark: str = "10 minutes",
     window_len: str = "5 minutes",
+    event_time_col: str = "event_time",
 ) -> DataFrame:
     """Watermarked event-time windowed counts per postcode district —
     the late-data idiom: rows later than ``watermark`` behind the max seen
-    event time are dropped, windows finalize incrementally."""
+    event time are dropped, windows finalize incrementally.
+
+    ``event_time_col`` must exist on the stream (timestamp, or a string
+    castable to one). There is deliberately NO wall-clock fallback: a
+    ``current_timestamp()`` default would assign processing time as event
+    time, making window counts nondeterministic and replays produce
+    different results — if the source has no event time, derive one
+    explicitly upstream.
+    """
+    if event_time_col not in stream.columns:
+        raise ValueError(
+            f"arrival_stats: stream has no '{event_time_col}' column. Pass "
+            "event_time_col= naming a timestamp column; wall-clock fallback "
+            "is not provided because it makes window counts replay-unstable."
+        )
     with_ts = stream.withColumn(
         "event_time",
-        F.coalesce(
-            # try_: ANSI mode throws on non-timestamp ids, null is wanted
-            F.try_to_timestamp(F.col("unique_id")),
-            F.current_timestamp(),
-        ),
+        # try_: ANSI mode throws on non-timestamp strings, null is wanted
+        F.try_to_timestamp(F.col(event_time_col)),
     )
     district = F.split_part(F.col("postcode"), F.lit(" "), F.lit(1))
     return (

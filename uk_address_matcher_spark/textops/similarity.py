@@ -166,18 +166,31 @@ def lsh_buckets(
             out.groupBy("band", "sig")
             .agg(F.count("*").alias("bucket_n"))
             .filter(F.col("bucket_n") > max_bucket_size)
-        ).cache()
-        dropped = oversized.agg(
-            F.count("*").alias("buckets"), F.sum("bucket_n").alias("rows")
-        ).collect()[0]
-        if dropped["buckets"]:
+        )
+        # The anti-join side is broadcast, i.e. driver-collected anyway:
+        # collect it ONCE (limit-guarded, like linkage side tables),
+        # derive the drop stats from the same rows, and re-create a local
+        # frame — one aggregation job, and no cache left pinned in
+        # executor storage for the session's lifetime.
+        max_oversized = 1_000_000
+        rows = oversized.limit(max_oversized + 1).collect()
+        if len(rows) > max_oversized:
+            raise ValueError(
+                f"lsh_buckets: more than {max_oversized:,} over-full buckets — "
+                "the banding is far too coarse for this corpus; raise n_planes "
+                "(suggest_n_planes) instead of dropping most of the data."
+            )
+        if rows:
             logger.warning(
                 "lsh_buckets: dropped %d over-full bucket(s) (%d rows) above "
                 "max_bucket_size=%d — raise n_planes (suggest_n_planes) if "
                 "this loses too much recall",
-                dropped["buckets"], dropped["rows"], max_bucket_size,
+                len(rows), sum(r["bucket_n"] for r in rows), max_bucket_size,
             )
-        out = out.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+            local = df.sparkSession.createDataFrame(
+                rows, "band int, sig string, bucket_n bigint"
+            )
+            out = out.join(F.broadcast(local), ["band", "sig"], "left_anti")
     return out
 
 

@@ -2,8 +2,12 @@
 
 Each step re-expresses one cleaning stage of the reference pipeline
 (/root/reference/uk_address_matcher/cleaning/cleaning_steps.py and
-regexes.py) as Catalyst expressions — no SQL strings, no Python UDFs.
+regexes.py) as Catalyst expressions — no Python UDFs in the hot path.
 The whole queue fuses into a handful of whole-stage-codegen projections.
+Heavy expression trees are emitted as SQL text (one F.expr parse) rather
+than composed through the Column API, which costs a Py4J round-trip per
+operator node — see the sqlexpr module doc; the parsed trees are
+identical.
 
 Dialect notes (verified empirically against DuckDB 1.0):
  - DuckDB's RE2 silently NO-OPS on lookbehind and backreference patterns,
@@ -23,6 +27,8 @@ import pandas as pd  # noqa: F401 — needed at module scope for pandas-UDF type
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from uk_address_matcher_spark import sqlexpr as X
 
 
 def let(value: Column, body) -> Column:
@@ -57,33 +63,60 @@ def pin(value: Column, seed: int) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# String-level regex battery (reference: cleaning/regexes.py)
+# String-level regex battery (reference: cleaning/regexes.py).
+# Each helper has a Column form (unit-testable, composable) and an
+# `*_sql` string form; the step functions emit SQL text because building
+# these trees through Py4J costs milliseconds PER OPERATOR (sqlexpr
+# module doc) and the cleaning queue is rebuilt per linkage call.
 # ---------------------------------------------------------------------------
+
+
+def _rr(c: str, pattern: str, replacement: str) -> str:
+    return f"regexp_replace({c}, {X.q(pattern)}, {X.q(replacement)})"
 
 
 def remove_commas_periods(c: Column) -> Column:
     return F.regexp_replace(c, r"[,.]", " ")
 
 
+def remove_commas_periods_sql(c: str) -> str:
+    return _rr(c, r"[,.]", " ")
+
+
 def remove_apostrophes(c: Column) -> Column:
     return F.regexp_replace(c, r"'", "")
+
+
+def remove_apostrophes_sql(c: str) -> str:
+    return _rr(c, r"'", "")
 
 
 def remove_multiple_spaces(c: Column) -> Column:
     return F.regexp_replace(c, r"\s+", " ")
 
 
+def remove_multiple_spaces_sql(c: str) -> str:
+    return _rr(c, r"\s+", " ")
+
+
 def replace_fwd_slash_with_dash(c: Column) -> Column:
     return F.regexp_replace(c, r"/", "-")
 
 
+def replace_fwd_slash_with_dash_sql(c: str) -> str:
+    return _rr(c, r"/", "-")
+
+
+NUM_DASH_NUM_RE = r"(?<![A-Za-z])(\d+[A-Za-z]?)\s*-\s*(\d+[A-Za-z]?)(?![A-Za-z])"
+
+
 def standarise_num_dash_num(c: Column) -> Column:
     # '23A - 24' -> '23A-24' (regexes.py:16-39; intent active here, see module doc)
-    return F.regexp_replace(
-        c,
-        r"(?<![A-Za-z])(\d+[A-Za-z]?)\s*-\s*(\d+[A-Za-z]?)(?![A-Za-z])",
-        r"$1-$2",
-    )
+    return F.regexp_replace(c, NUM_DASH_NUM_RE, r"$1-$2")
+
+
+def standarise_num_dash_num_sql(c: str) -> str:
+    return _rr(c, NUM_DASH_NUM_RE, r"$1-$2")
 
 
 def separate_letter_num(c: Column) -> Column:
@@ -91,9 +124,17 @@ def separate_letter_num(c: Column) -> Column:
     return F.regexp_replace(c, r"\b([A-Za-z])\s*(\d+)\b", r"$1 $2")
 
 
+def separate_letter_num_sql(c: str) -> str:
+    return _rr(c, r"\b([A-Za-z])\s*(\d+)\b", r"$1 $2")
+
+
 def standarise_num_letter(c: Column) -> Column:
     # '123-A ' -> '123A ' (regexes.py:78-103; [[:punct:]] -> \p{Punct})
     return F.regexp_replace(c, r"(\d{1,4})[\p{Punct}\s]([A-Za-z])\s", r"$1$2 ")
+
+
+def standarise_num_letter_sql(c: str) -> str:
+    return _rr(c, r"(\d{1,4})[\p{Punct}\s]([A-Za-z])\s", r"$1$2 ")
 
 
 def move_flat_to_front(c: Column) -> Column:
@@ -102,9 +143,17 @@ def move_flat_to_front(c: Column) -> Column:
     return F.regexp_replace(c, r"\b(FLAT \d+[A-Z]?)\s+(.*)", r"$1 $2")
 
 
+def move_flat_to_front_sql(c: str) -> str:
+    return _rr(c, r"\b(FLAT \d+[A-Z]?)\s+(.*)", r"$1 $2")
+
+
 def remove_repeated_tokens(c: Column) -> Column:
     # 'word word' -> 'word' (regexes.py:48-71; intent active here)
     return F.regexp_replace(c, r"\b(\w{4,})\s+\1\b", r"$1")
+
+
+def remove_repeated_tokens_sql(c: str) -> str:
+    return _rr(c, r"\b(\w{4,})\s+\1\b", r"$1")
 
 
 UK_POSTCODE_REGEX = r"^([A-Z]{1,2}\d[A-Z\d]?|GIR)\s*(\d[A-Z]{2})$"
@@ -138,46 +187,49 @@ def upper_case_address_and_postcode(df: DataFrame) -> DataFrame:
 
 def clean_address_string_first_pass(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:93-119 — nested regex chain, same order
-    c = F.col("address_concat")
+    c = "address_concat"
     for fn in (
-        remove_commas_periods,
-        remove_apostrophes,
-        remove_multiple_spaces,
-        replace_fwd_slash_with_dash,
-        standarise_num_dash_num,
-        separate_letter_num,
-        standarise_num_letter,
-        move_flat_to_front,
-        remove_repeated_tokens,
+        remove_commas_periods_sql,
+        remove_apostrophes_sql,
+        remove_multiple_spaces_sql,
+        replace_fwd_slash_with_dash_sql,
+        standarise_num_dash_num_sql,
+        separate_letter_num_sql,
+        standarise_num_letter_sql,
+        move_flat_to_front_sql,
+        remove_repeated_tokens_sql,
     ):
         c = fn(c)
-    return df.withColumn("address_concat", F.trim(c))
+    return df.withColumn("address_concat", F.expr(f"trim({c})"))
 
 
 def remove_duplicate_end_tokens(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:260-286. DuckDB [:-2] drops ONE trailing token,
     # [:-3] drops TWO (verified).
-    def dedupe(toks: Column) -> Column:
-        n = F.size(toks)
-        last = F.try_element_at(toks, F.lit(-1))
-        last2 = F.try_element_at(toks, F.lit(-2))
-        last3 = F.try_element_at(toks, F.lit(-3))
-        last4 = F.try_element_at(toks, F.lit(-4))
-        return (
-            F.when(
-                (n >= 2) & (last == last2), F.array_join(F.slice(toks, 1, n - 1), " ")
-            )
-            .when(
-                (n >= 4) & (last4 == last2) & (last3 == last),
-                F.array_join(F.slice(toks, 1, n - 2), " "),
-            )
-            .otherwise(F.array_join(toks, " "))
+    def dedupe(t: str) -> str:
+        last = f"try_element_at({t}, -1)"
+        last2 = f"try_element_at({t}, -2)"
+        last3 = f"try_element_at({t}, -3)"
+        last4 = f"try_element_at({t}, -4)"
+        return X.cascade(
+            [
+                (
+                    f"size({t}) >= 2 AND {last} = {last2}",
+                    f"array_join(slice({t}, 1, size({t}) - 1), ' ')",
+                ),
+                (
+                    f"size({t}) >= 4 AND {last4} = {last2} AND {last3} = {last}",
+                    f"array_join(slice({t}, 1, size({t}) - 2), ' ')",
+                ),
+                (None, f"array_join({t}, ' ')"),
+            ]
         )
 
     # let-bound: the token array (and transitively the upstream cleaning
     # chain) is evaluated once per row instead of ~12x
-    new_addr = let(F.split(F.col("address_concat"), " "), dedupe)
-    return df.withColumn("address_concat", new_addr)
+    return df.withColumn(
+        "address_concat", F.expr(X.let("split(address_concat, ' ')", dedupe))
+    )
 
 
 def derive_original_address_concat(df: DataFrame) -> DataFrame:
@@ -198,21 +250,20 @@ def parse_out_flat_position_and_letter(df: DataFrame) -> DataFrame:
     # FLAT_NUMBER_RE — the keyword itself, not the number (verified against
     # DuckDB); 'FLAT'/'UNIT' (len<=4) can therefore land in flat_letter.
     # Reproduced faithfully for scoring parity.
-    addr = F.col("address_concat")
-    floor_pos = F.regexp_extract(addr, FLOOR_POSITIONS_RE, 1)
-    flat_letter = F.regexp_extract(addr, FLAT_LETTER_RE, 1)
-    leading_letter = F.regexp_extract(addr, LEADING_LETTER_RE, 1)
-    flat_number = F.regexp_extract(addr, FLAT_NUMBER_RE, 1)
-    return df.withColumn("flat_positional", F.nullif(floor_pos, F.lit(""))).withColumn(
-        "flat_letter",
-        F.nullif(
-            F.coalesce(
-                F.nullif(flat_letter, F.lit("")),
-                F.nullif(leading_letter, F.lit("")),
-                F.when(F.length(flat_number) <= 4, flat_number),
+    addr = "address_concat"
+    floor_pos = f"regexp_extract({addr}, {X.q(FLOOR_POSITIONS_RE)}, 1)"
+    flat_letter = f"regexp_extract({addr}, {X.q(FLAT_LETTER_RE)}, 1)"
+    leading_letter = f"regexp_extract({addr}, {X.q(LEADING_LETTER_RE)}, 1)"
+    flat_number = f"regexp_extract({addr}, {X.q(FLAT_NUMBER_RE)}, 1)"
+    return df.withColumns(
+        {
+            "flat_positional": F.expr(f"nullif({floor_pos}, '')"),
+            "flat_letter": F.expr(
+                f"nullif(coalesce(nullif({flat_letter}, ''), "
+                f"nullif({leading_letter}, ''), "
+                f"CASE WHEN length({flat_number}) <= 4 THEN {flat_number} END), '')"
             ),
-            F.lit(""),
-        ),
+        }
     )
 
 
@@ -223,66 +274,75 @@ def parse_out_numbers(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:172-211 — numeric tokens out of the address; if
     # flat_letter is purely numeric the first numeric token is dropped
     # (it duplicates the flat number).
-    def split_out(addr: Column) -> Column:
-        def pick(all_nums: Column) -> Column:
-            return F.when(
-                F.col("flat_letter").isNotNull()
-                & F.col("flat_letter").rlike(r"^\d+$"),
-                F.slice(all_nums, 2, F.greatest(F.size(all_nums) - 1, F.lit(0))),
-            ).otherwise(all_nums)
+    def split_out(addr: str) -> str:
+        def pick(all_nums: str) -> str:
+            digits_re = X.q(r"^\d+$")
+            return (
+                f"CASE WHEN flat_letter IS NOT NULL AND "
+                f"flat_letter RLIKE {digits_re} "
+                f"THEN slice({all_nums}, 2, greatest(size({all_nums}) - 1, 0)) "
+                f"ELSE {all_nums} END"
+            )
 
-        return F.struct(
-            F.regexp_replace(addr, NUMERIC_TOKEN_RE, "").alias("awn"),
-            let(
-                F.regexp_extract_all(addr, F.lit(NUMERIC_TOKEN_RE), F.lit(0)), pick
-            ).alias("nums"),
+        nums = X.let(
+            f"regexp_extract_all({addr}, {X.q(NUMERIC_TOKEN_RE)}, 0)", pick
+        )
+        return (
+            f"named_struct('awn', regexp_replace({addr}, {X.q(NUMERIC_TOKEN_RE)}, ''), "
+            f"'nums', {nums})"
         )
 
     # double let-binding: the (collapsed, regex-heavy) address expression
     # and the extract_all array are each evaluated once per row
-    df = df.withColumn("__nums", let(F.col("address_concat"), split_out))
-    return (
-        df.withColumn("address_without_numbers", F.col("__nums")["awn"])
-        .withColumn("numeric_tokens", F.col("__nums")["nums"])
-        .drop("__nums")
-    )
+    df = df.withColumn("__nums", F.expr(X.let("address_concat", split_out)))
+    return df.withColumns(
+        {
+            "address_without_numbers": F.col("__nums")["awn"],
+            "numeric_tokens": F.col("__nums")["nums"],
+        }
+    ).drop("__nums")
 
 
 def clean_address_string_second_pass(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:214-228
     return df.withColumn(
         "address_without_numbers",
-        F.trim(remove_multiple_spaces(F.col("address_without_numbers"))),
+        F.expr(f"trim({remove_multiple_spaces_sql('address_without_numbers')})"),
     )
 
 
 def split_numeric_tokens_to_cols(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:231-243 — digit runs only ('21A' -> '21'; '23-24' -> 23,24)
-    digits = F.regexp_extract_all(
-        F.array_join(F.col("numeric_tokens"), " "), F.lit(r"\d+"), F.lit(0)
+    digit_re = X.q(r"\d+")
+    digits = (
+        f"regexp_extract_all(array_join(numeric_tokens, ' '), {digit_re}, 0)"
     )
-    split3 = let(
+    split3 = X.let(
         digits,
-        lambda d: F.struct(
-            F.try_element_at(d, F.lit(1)).alias("n1"),
-            F.try_element_at(d, F.lit(2)).alias("n2"),
-            F.try_element_at(d, F.lit(3)).alias("n3"),
+        lambda d: (
+            f"named_struct('n1', try_element_at({d}, 1), "
+            f"'n2', try_element_at({d}, 2), 'n3', try_element_at({d}, 3))"
         ),
     )
     return (
-        df.withColumn("__d3", split3)
-        .withColumn("numeric_token_1", F.col("__d3")["n1"])
-        .withColumn("numeric_token_2", F.col("__d3")["n2"])
-        .withColumn("numeric_token_3", F.col("__d3")["n3"])
+        df.withColumn("__d3", F.expr(split3))
+        .withColumns(
+            {
+                "numeric_token_1": F.col("__d3")["n1"],
+                "numeric_token_2": F.col("__d3")["n2"],
+                "numeric_token_3": F.col("__d3")["n3"],
+            }
+        )
         .drop("numeric_tokens", "__d3")
     )
 
 
 def tokenise_address_without_numbers(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:246-257
+    ws_re = X.q(r"\s+")
     return df.withColumn(
         "address_without_numbers_tokenised",
-        F.split(F.trim(F.col("address_without_numbers")), r"\s+"),
+        F.expr(f"split(trim(address_without_numbers), {ws_re})"),
     ).drop("address_without_numbers")
 
 
@@ -373,56 +433,65 @@ def move_common_end_tokens_to_field(df: DataFrame, end_tokens: list[str]) -> Dat
     # cleaning_steps.py:484-550 — common trailing tokens (e.g. LONDON) into
     # their own field; the side table arrives as a small Python list and is
     # inlined as an array literal (the reference cross-joins a 1-row table).
-    end_lit = F.array(*[F.lit(t) for t in end_tokens]) if end_tokens else F.array().cast(
-        "array<string>"
+    end_lit = (
+        "array(" + ", ".join(X.q(t) for t in end_tokens) + ")"
+        if end_tokens
+        else "cast(array() as array<string>)"
     )
 
-    def split_ends(arr: Column) -> Column:
-        n = F.size(arr)
-        last3 = F.when(n >= 3, F.slice(arr, -3, 3)).otherwise(arr)
-        common = F.filter(last3, lambda x: F.array_contains(end_lit, x["tok"]))
+    def split_ends(arr: str) -> str:
+        x1, x2, i2 = X.gensym("x"), X.gensym("x"), X.gensym("i")
+        last3 = (
+            f"CASE WHEN size({arr}) >= 3 THEN slice({arr}, -3, 3) ELSE {arr} END"
+        )
+        common = (
+            f"filter({last3}, {x1} -> array_contains({end_lit}, {x1}.tok))"
+        )
         # DuckDB (x,i) is 1-based: `i > len-2` selects the last two
         # positions; 0-based equivalent: i >= size-2
-        remaining = F.filter(
-            arr,
-            lambda x, i: ~((i >= n - 2) & F.array_contains(end_lit, x["tok"])),
+        remaining = (
+            f"filter({arr}, ({x2}, {i2}) -> NOT ({i2} >= size({arr}) - 2 "
+            f"AND array_contains({end_lit}, {x2}.tok)))"
         )
-        return F.struct(common.alias("common"), remaining.alias("remaining"))
+        return f"named_struct('common', {common}, 'remaining', {remaining})"
 
-    df = df.withColumn("__ends", let(F.col("token_rel_freq_arr"), split_ends))
-    return (
-        df.withColumn("common_end_tokens", F.col("__ends")["common"])
-        .withColumn("token_rel_freq_arr", F.col("__ends")["remaining"])
-        .drop("__ends")
-    )
+    df = df.withColumn("__ends", F.expr(X.let("token_rel_freq_arr", split_ends)))
+    return df.withColumns(
+        {
+            "common_end_tokens": F.col("__ends")["common"],
+            "token_rel_freq_arr": F.col("__ends")["remaining"],
+        }
+    ).drop("__ends")
 
 
 def first_unusual_token(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:411-425
+    x = X.gensym("x")
     return df.withColumn(
         "first_unusual_token",
-        F.try_element_at(
-            F.filter(F.col("token_rel_freq_arr"), lambda x: x["rel_freq"] < 0.001),
-            F.lit(1),
+        F.expr(
+            f"try_element_at(filter(token_rel_freq_arr, "
+            f"{x} -> {x}.rel_freq < 0.001D), 1)"
         ),
     )
 
 
 def use_first_unusual_token_if_no_numeric_token(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:428-448
-    fut = F.col("first_unusual_token")
-    no_num = F.col("numeric_token_1").isNull()
-    new_num1 = F.when(no_num, fut["tok"]).otherwise(F.col("numeric_token_1"))
-    new_arr = F.when(
-        no_num,
-        F.filter(
-            F.col("token_rel_freq_arr"),
-            lambda x: F.coalesce(x["tok"] != fut["tok"], F.lit(True)),
-        ),
-    ).otherwise(F.col("token_rel_freq_arr"))
+    x = X.gensym("x")
+    new_num1 = (
+        "CASE WHEN numeric_token_1 IS NULL THEN first_unusual_token.tok "
+        "ELSE numeric_token_1 END"
+    )
+    new_arr = (
+        f"CASE WHEN numeric_token_1 IS NULL THEN "
+        f"filter(token_rel_freq_arr, {x} -> "
+        f"coalesce({x}.tok != first_unusual_token.tok, true)) "
+        f"ELSE token_rel_freq_arr END"
+    )
     return (
-        df.withColumn("__n1", new_num1)
-        .withColumn("token_rel_freq_arr", new_arr)
+        df.withColumn("__n1", F.expr(new_num1))
+        .withColumn("token_rel_freq_arr", F.expr(new_arr))
         .drop("numeric_token_1", "first_unusual_token")
         .withColumnRenamed("__n1", "numeric_token_1")
     )
@@ -439,36 +508,46 @@ def _sorted_by_freq(arr: Column) -> Column:
     return F.array_sort(keyed)
 
 
+def _sorted_by_freq_sql(arr: str) -> str:
+    x, i = X.gensym("x"), X.gensym("i")
+    return (
+        f"array_sort(transform({arr}, ({x}, {i}) -> named_struct("
+        f"'rel_freq', {x}.rel_freq, 'pos', {i}, 'tok', {x}.tok)))"
+    )
+
+
 def separate_unusual_tokens(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:553-582 — rarity bands, ordered by rel_freq asc
 
-    def bands(sorted_arr: Column) -> Column:
-        def band(lo: float | None, hi: float | None) -> Column:
-            def pred(x):
-                p = F.lit(True)
-                if lo is not None:
-                    p = p & (x["rel_freq"] >= lo)
-                if hi is not None:
-                    p = p & (x["rel_freq"] < hi)
-                return p
+    def bands(sorted_arr: str) -> str:
+        def band(lo: float | None, hi: float | None) -> str:
+            x, y = X.gensym("x"), X.gensym("y")
+            preds = ["true"]
+            if lo is not None:
+                preds.append(f"{x}.rel_freq >= {X.d(lo)}")
+            if hi is not None:
+                preds.append(f"{x}.rel_freq < {X.d(hi)}")
+            pred = " AND ".join(preds)
+            return (
+                f"transform(filter({sorted_arr}, {x} -> {pred}), {y} -> {y}.tok)"
+            )
 
-            return F.transform(F.filter(sorted_arr, pred), lambda x: x["tok"])
-
-        return F.struct(
-            band(5e-5, 1e-4).alias("unusual"),
-            band(1e-7, 5e-5).alias("very_unusual"),
-            band(None, 1e-7).alias("extremely_unusual"),
+        return (
+            f"named_struct('unusual', {band(5e-5, 1e-4)}, "
+            f"'very_unusual', {band(1e-7, 5e-5)}, "
+            f"'extremely_unusual', {band(None, 1e-7)})"
         )
 
     df = df.withColumn(
-        "__bands", let(_sorted_by_freq(F.col("token_rel_freq_arr")), bands)
+        "__bands", F.expr(X.let(_sorted_by_freq_sql("token_rel_freq_arr"), bands))
     )
-    return (
-        df.withColumn("unusual_tokens_arr", F.col("__bands")["unusual"])
-        .withColumn("very_unusual_tokens_arr", F.col("__bands")["very_unusual"])
-        .withColumn("extremely_unusual_tokens_arr", F.col("__bands")["extremely_unusual"])
-        .drop("__bands")
-    )
+    return df.withColumns(
+        {
+            "unusual_tokens_arr": F.col("__bands")["unusual"],
+            "very_unusual_tokens_arr": F.col("__bands")["very_unusual"],
+            "extremely_unusual_tokens_arr": F.col("__bands")["extremely_unusual"],
+        }
+    ).drop("__bands")
 
 
 def _histogram_arr(arr: Column) -> Column:
@@ -499,6 +578,22 @@ def _histogram_arr(arr: Column) -> Column:
         return F.when(F.size(a) > 0, h)
 
     return let(arr, hist)
+
+
+def _histogram_arr_sql(arr: str) -> str:
+    """SQL-text twin of :func:`_histogram_arr` (same tree, one parse)."""
+
+    def hist(a: str) -> str:
+        s, y = X.gensym("s"), X.gensym("y")
+        h = (
+            f"array_sort(transform(array_distinct({a}), {s} -> named_struct("
+            f"'tok', {s}.tok, "
+            f"'cnt', cast(size(filter({a}, {y} -> {y}.tok = {s}.tok)) as bigint), "
+            f"'rel_freq', {s}.rel_freq)))"
+        )
+        return f"CASE WHEN size({a}) > 0 THEN {h} END"
+
+    return X.let(arr, hist)
 
 
 # ---------------------------------------------------------------------------
@@ -622,9 +717,12 @@ FINAL_COLUMNS = [
 def final_column_order(df: DataFrame) -> DataFrame:
     # cleaning_steps.py:451-481 — histograms + canonical column order;
     # extra user columns pass through after the contract columns
-    df = df.withColumn(
-        "token_rel_freq_arr_hist", _histogram_arr(F.col("token_rel_freq_arr"))
-    ).withColumn("common_end_tokens_hist", _histogram_arr(F.col("common_end_tokens")))
+    df = df.withColumns(
+        {
+            "token_rel_freq_arr_hist": F.expr(_histogram_arr_sql("token_rel_freq_arr")),
+            "common_end_tokens_hist": F.expr(_histogram_arr_sql("common_end_tokens")),
+        }
+    )
     extra = [
         c
         for c in df.columns

@@ -34,6 +34,13 @@ def d(value: float) -> str:
     return f"{value!r}D"
 
 
+def q(s: str) -> str:
+    """SQL string literal. Spark's parser processes backslash escapes in
+    single-quoted literals, so a Java-regex pattern must have every
+    backslash doubled to survive parsing verbatim."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def let(value: str, body) -> str:
     """Bind ``value`` once, use it many times inside ``body``.
 

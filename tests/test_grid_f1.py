@@ -46,3 +46,35 @@ def test_salted_blocking_same_result(spark, grid_run):
     salted = block(cl, cr, salt=4)
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_blocking_same_result_under_zipf_skew(spark):
+    """Salting must be a pure physical-layout change even on the worst
+    case it exists for: a Zipf-skewed corpus where 10% of rows share a
+    handful of postcodes (hot keys hit blocking rule 18 quadratically)."""
+    from uk_address_matcher_spark.blocking import block
+    from uk_address_matcher_spark.cleaning import clean_addresses
+    from uk_address_matcher_spark.corpus import (
+        domain_token_frequencies,
+        grid_canonical_flat,
+        messy_from_canonical,
+        skew_postcodes,
+    )
+
+    canon = skew_postcodes(
+        grid_canonical_flat(spark, 2000), n_hot=5, hot_share=0.10
+    )
+    messy, _ = messy_from_canonical(canon, dup_factor=1)
+    side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
+    cl = clean_addresses(canon, side.rel_tok_freq, side.common_end_tokens).cache()
+    cr = clean_addresses(messy, side.rel_tok_freq, side.common_end_tokens).cache()
+    # skew really present: the biggest postcode block dwarfs the median
+    sizes = sorted(
+        r["n"] for r in cl.groupBy("postcode").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes[-1] >= 20 * sizes[len(sizes) // 2], sizes[-5:]
+    plain = block(cl, cr)
+    salted = block(cl, cr, salt=8)
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0

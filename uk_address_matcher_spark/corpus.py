@@ -558,6 +558,48 @@ def messy_from_canonical(canonical_flat: DataFrame, dup_factor: int = 1) -> tupl
     return messy, labels
 
 
+def skew_postcodes(
+    flat: DataFrame, n_hot: int = 500, hot_share: float = 0.10
+) -> DataFrame:
+    """Zipf-worst-case variant of a flat address table: ~``hot_share`` of
+    the ROWS are remapped into only ``n_hot`` distinct postcodes.
+
+    Models the reference's worst blocking case — a dense city sector where
+    the bare block_on('postcode') rule (splink_model.json:86-88, our rule
+    18) produces quadratic within-key pair counts. The remap is keyed on
+    the postcode VALUE (not the row), so rows sharing a postcode — a
+    canonical row and its non-postcode-perturbed messy copies — move
+    together and blocking semantics stay meaningful (messy rows whose
+    perturbation typo'd the postcode keep their typo'd code, as in the
+    unskewed corpus).
+    Hot postcodes use the reserved 'ZZ9' outward district (no generated
+    postcode collides with it: grid outwards end at letter pairs from the
+    street encoding, and the messy typo class writes digit 0, never 9).
+
+    Used by tools/skew_bench.py for the salted-vs-unsalted A/B and by the
+    skew invariance test; deterministic, content-keyed, partition-safe.
+    """
+    if not 0.0 < hot_share <= 1.0:
+        raise ValueError("hot_share must be in (0, 1]")
+    h = F.abs(F.xxhash64(F.lit("skew"), F.col("postcode")))
+    is_hot = (h % 1_000_000) < int(hot_share * 1_000_000)
+    # inward: digit + 2 letters, injective for n_hot <= 9*26*26 = 6084
+    if n_hot > 6084:
+        raise ValueError("n_hot must be <= 6084 (inward-code injectivity)")
+    k = (h % n_hot).cast("long")
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    letters = F.array(*[F.lit(c) for c in alpha])
+    hot_pc = F.concat(
+        F.lit("ZZ9 "),
+        ((k % 9) + 1).cast("string"),
+        F.element_at(letters, ((k / 9).cast("long") % 26 + 1).cast("int")),
+        F.element_at(letters, ((k / 234).cast("long") % 26 + 1).cast("int")),
+    )
+    return flat.withColumn(
+        "postcode", F.when(is_hot, hot_pc).otherwise(F.col("postcode"))
+    )
+
+
 def grid_documents(
     spark: SparkSession, n_canonical: int, dup_factor: int = 1
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -34,6 +34,51 @@ def test_rule_count_matches_reference():
     assert len(BLOCKING_RULES) == 18
 
 
+def test_sql_kernel_matches_column_api_kernel(spark):
+    """The SQL-text kernel (comparison_bf_sqls) and the retained
+    Column-API builder must be value-identical on a pair grid covering
+    every cascade level (nulls, exact, fuzzy, fallthrough, TF present)."""
+    import itertools
+
+    from uk_address_matcher_spark.scoring import (
+        _comparison_bfs_column_api,
+        comparison_bfs,
+    )
+
+    variants = [
+        _rec("x"),  # all null
+        _rec("x", n1="10", n2="12", n3="3", pc="SW1A 2AA",
+             oac="10 DOWNING STREET", fp="GROUND FLOOR", fl="A",
+             hist=[("DOWNING", 1, 1e-5), ("STREET", 2, 0.02)],
+             cet=[("LONDON", 1, 0.002)]),
+        _rec("x", n1="10A", n2="10", pc="SW1A 2AB", oac="OTHER",
+             fl="10", hist=[("RARE", 1, 1e-9)], cet=[("YORK", 1, 0.5)]),
+        _rec("x", n1="7", pc="ZZ9 9ZZ", fp="BASEMENT",
+             hist=[("DOWNING", 3, 1e-5)]),
+    ]
+    base = spark.createDataFrame(
+        [tuple([f"v{i}"] + list(v[1:])) for i, v in enumerate(variants)],
+        CLEANED_SCHEMA,
+    )
+    left = base.select([F.col(c).alias(f"{c}_l") for c in base.columns])
+    right = base.select([F.col(c).alias(f"{c}_r") for c in base.columns])
+    df = left.crossJoin(right)
+    for k in (1, 2, 3):
+        df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(0.01))
+        df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(0.02))
+    sql_bfs = comparison_bfs(oac_sig=False)
+    col_bfs = _comparison_bfs_column_api(oac_sig=False)
+    checks = df
+    for name in sql_bfs:
+        checks = checks.withColumn(f"s_{name}", sql_bfs[name]).withColumn(
+            f"c_{name}", col_bfs[name]
+        )
+    bad = checks.filter(
+        " OR ".join(f"(s_{n} <=> c_{n}) = false" for n in sql_bfs)
+    ).count()
+    assert bad == 0
+
+
 def test_null_components_emit_no_key(spark):
     df = spark.createDataFrame([_rec("a", pc="SW1A 2AA")], CLEANED_SCHEMA)
     keys = blocking_keys(df, "l").collect()

@@ -63,6 +63,18 @@ def run_level(cpus: int, n: int) -> dict:
     clusters = cluster_predictions(slim, threshold_match_weight=5.0, checkpointer=ck)
     n_clusters = clusters.count()
     elapsed = time.time() - t0
+    # carry the per-pass wall breakdown into the record: single-box noise
+    # makes totals jumpy, and a record that cannot say WHICH pass moved
+    # is unfalsifiable (round-3 lesson)
+    pass_walls = {}
+    try:
+        import json as _json
+
+        with open(os.path.join(ck_dir, "_manifest.json")) as f:
+            for name, e in _json.load(f)["passes"].items():
+                pass_walls[name] = e.get("wall_seconds")
+    except OSError:
+        pass
     shutil.rmtree(ck_dir, ignore_errors=True)
     spark.stop()
     return {
@@ -72,6 +84,7 @@ def run_level(cpus: int, n: int) -> dict:
         "docs_per_sec": round(2 * n / elapsed, 1),
         "n_predictions": n_pred,
         "n_cluster_rows": n_clusters,
+        "pass_walls": pass_walls,
     }
 
 

@@ -73,12 +73,23 @@ BLOCKING_RULES: list[list[tuple]] = [
 ]
 
 
+def _quote_component(c: str) -> str:
+    """Backtick-quote a component that is a plain column NAME (so names
+    with spaces/hyphens/reserved words survive the SQL splice); leave
+    anything that is already an expression (contains parentheses or
+    backticks) untouched."""
+    if "(" in c or ")" in c or "`" in c:
+        return c
+    return "`" + c.replace("`", "``") + "`"
+
+
 def _rule_key_sql(components: list[str]) -> str:
-    cols = [f"cast({c} as string)" for c in components]
+    cols = [f"cast({_quote_component(c)} as string)" for c in components]
     non_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     return f"CASE WHEN {non_null} THEN concat_ws('{SEP}', {', '.join(cols)}) END"
 
 
+@X.scoped
 def blocking_keys(
     df: DataFrame, side: str, rules: list[list[tuple]] | None = None
 ) -> DataFrame:

@@ -53,7 +53,17 @@ class CheckpointManager:
         self.collect_metrics = collect_metrics
         os.makedirs(self.base_path, exist_ok=True)
         self.manifest_path = os.path.join(self.base_path, "_manifest.json")
-        self.manifest = self._load_manifest()
+        if not resume:
+            # resume=False means REBUILD: start from an empty manifest
+            # rather than carrying forward old pass entries. Keeping them
+            # would let a stale (even prior-format) artifact survive a
+            # rebuild that happens not to re-execute a pass of the same
+            # name, and then be served as complete by a later resume=True
+            # run — laundering exactly what the format_version check
+            # refuses.
+            self.manifest = {"passes": {}}
+        else:
+            self.manifest = self._load_manifest()
         stored = self.manifest.get("format_version")
         if resume and self.manifest["passes"] and stored != FORMAT_VERSION:
             raise ValueError(

@@ -62,12 +62,16 @@ NUMERIC_TF_QUEUE = [
 ]
 
 
+@S.X.scoped
 def run_queue(df: DataFrame, queue) -> DataFrame:
+    # scoped: one gensym scope per queue build, so the emitted SQL text is
+    # identical for every run of the same queue (text-keyed plan caching)
     for step in queue:
         df = step(df)
     return df
 
 
+@S.X.scoped
 def clean_addresses(
     df: DataFrame,
     rel_tok_freq: DataFrame,

@@ -110,6 +110,7 @@ def _tf_mult_sql(u_level: float, tf_weight: float, tf_l: str, tf_r: str) -> str:
     )
 
 
+@X.scoped
 def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
     """All 8 comparison BF expressions as SQL text over a suffixed pair
     row (cols *_l/*_r plus tf_numeric_token_{1,2,3}_{l,r}).

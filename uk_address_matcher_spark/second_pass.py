@@ -135,6 +135,7 @@ def prune_candidates(
     )
 
 
+@X.scoped
 def improve_predictions_using_distinguishing_tokens(
     df_predict: DataFrame,
     match_weight_threshold: float = -20.0,

@@ -15,21 +15,40 @@ from pyspark.sql import SparkSession
 
 
 def _default_local_dir() -> str | None:
-    """Prefer a tmpfs for shuffle/spill files when one is available.
+    """Prefer a tmpfs for shuffle/spill files when one is safe to use.
 
     Sort-shuffle writes one data+index file pair per map task; on slow
     filesystems the open/close metadata cost dominates for small
     shuffles (measured here: 14s of cumulative write time for 0.8MB of
     shuffle data on the root disk vs microseconds on tmpfs). On a real
     cluster this is the job of fast local NVMe — locally /dev/shm is the
-    equivalent. Explicit SPARK_LOCAL_DIRS always wins.
+    equivalent.
+
+    Guard rails (tmpfs is RAM: a job that spills BECAUSE memory is short
+    must not also spill INTO memory): explicit SPARK_LOCAL_DIRS always
+    wins; SPARK_GRAFT_TMPFS_SHUFFLE=0 disables, =1 forces; the default
+    ("auto") uses /dev/shm only when its free capacity is at least
+    SPARK_GRAFT_TMPFS_MIN_FREE_GB (default 8) GiB, falling back to the
+    normal disk local dir otherwise.
     """
     if os.environ.get("SPARK_LOCAL_DIRS"):
         return None
+    mode = os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE", "auto")
+    if mode == "0":
+        return None
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, f"spark-local-{os.getuid()}")
-    return None
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return None
+    if mode != "1":
+        min_free_gb = float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "8"))
+        try:
+            st = os.statvfs(shm)
+            free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            return None
+        if free_gb < min_free_gb:
+            return None
+    return os.path.join(shm, f"spark-local-{os.getuid()}")
 
 
 def get_spark(

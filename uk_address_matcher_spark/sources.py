@@ -122,8 +122,31 @@ def sample_addresses(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     upstream partitioning does — content hashing makes the same seed pick
     the same rows under any partitioning or cluster layout (the same
     property hash_sample has). Ties are only possible between fully
-    identical rows, where either pick is the same sample."""
-    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    identical rows, where either pick is the same sample.
+
+    Map-typed columns (e.g. second-pass outputs carrying
+    map<string,bigint> histograms) are excluded from the hash — Spark
+    disallows hashing MapType — so any frame with at least one hashable
+    column samples fine; the sample is still content-keyed on every
+    hashable column."""
+    from pyspark.sql import types as T
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+    if not cols:
+        raise ValueError(
+            "sample_addresses: every column is map-typed (unhashable); "
+            "drop or convert a column, or sample before deriving maps"
+        )
+    key = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
     return df.orderBy(key).limit(n)
 
 

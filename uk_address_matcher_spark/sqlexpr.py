@@ -19,14 +19,44 @@ would have shipped).
 
 from __future__ import annotations
 
-import itertools
+import functools
 
-_GENSYM = itertools.count()
+_GENSYM = 0
+_SCOPE_DEPTH = 0
 
 
 def gensym(prefix: str = "v") -> str:
     """Fresh lambda-variable name — nested HOF lambdas must not shadow."""
-    return f"__{prefix}{next(_GENSYM)}"
+    global _GENSYM
+    _GENSYM += 1
+    return f"__{prefix}{_GENSYM}"
+
+
+def scoped(fn):
+    """Reset the gensym counter at each TOP-LEVEL expression build.
+
+    Decorating every public expression builder makes the emitted SQL text
+    a pure function of the builder's inputs — identical across calls and
+    across processes — so text-keyed plan caching/diffing works. Depth
+    tracking keeps the counter monotone through nested builder calls
+    (a reset mid-build would let an inner lambda shadow an outer one);
+    only the outermost decorated call resets. Not supported (and not done
+    anywhere in this package): nesting the output of one top-level build
+    inside a lambda emitted by a different top-level build.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        global _GENSYM, _SCOPE_DEPTH
+        if _SCOPE_DEPTH == 0:
+            _GENSYM = 0
+        _SCOPE_DEPTH += 1
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _SCOPE_DEPTH -= 1
+
+    return wrapper
 
 
 def d(value: float) -> str:

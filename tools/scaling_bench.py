@@ -37,7 +37,14 @@ def run_level(cpus: int, n: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=64,
     )
-    canon_docs, messy_docs, _ = grid_documents(spark, n, dup_factor=1)
+    # SCALING_STREET_MODEL=global reruns the pre-round-5 generator whose
+    # hottest street grows ~n^0.6 (superlinear pairs/doc) — kept for the
+    # honest side-by-side of the corpus fix; default is the bounded
+    # sharded model
+    street_model = os.environ.get("SCALING_STREET_MODEL", "sharded")
+    canon_docs, messy_docs, _ = grid_documents(
+        spark, n, dup_factor=1, street_model=street_model
+    )
     canon = extract_addresses(canon_docs).cache()
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()  # corpus generation outside the timer
@@ -110,7 +117,10 @@ def run_kernel(cpus: int, n: int) -> dict:
     spark = get_spark(
         app_name=f"uam_kernel_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
     )
-    canon_docs, messy_docs, _ = grid_documents(spark, n, dup_factor=1)
+    street_model = os.environ.get("SCALING_STREET_MODEL", "sharded")
+    canon_docs, messy_docs, _ = grid_documents(
+        spark, n, dup_factor=1, street_model=street_model
+    )
     canon = extract_addresses(canon_docs).cache()
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()

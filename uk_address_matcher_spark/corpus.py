@@ -411,6 +411,21 @@ HOUSES_PER_STREET = 15  # average — the number of STREETS scales with the
 MAX_STREETS = 380_000  # injectivity bound of the street->postcode encoding
 STREET_SKEW = 2.5  # street_idx = floor(u^SKEW * n_streets): Zipf-ish block sizes
 
+# Sharded street model (default): docs are split into fixed 50k-doc
+# shards, each drawing its OWN Zipf street distribution over its own
+# 4000 streets. Under the old "global" model the Zipf quantile mass on
+# street 0 is (1/n_streets)^(1/SKEW); with n_streets ∝ n the hottest
+# street grows ~n^0.6, so candidate pairs per doc were SUPERLINEAR
+# (measured: 37 pairs/doc at 100k docs -> 145 at 1M), and large-corpus
+# benchmarks measured the corpus, not the engine. Sharding bounds every
+# street by the 50k-shard distribution — pairs/doc is flat in n — and is
+# BIT-IDENTICAL to the old model for n <= SHARD_DOCS (shard 0's formula
+# equals the old one there), so all small-sf oracles/goldens and the
+# sf0.1 bench corpus are unchanged.
+SHARD_DOCS = 50_000
+STREETS_PER_SHARD = max(BASE_STREETS, SHARD_DOCS // HOUSES_PER_STREET)  # 4000
+MAX_SHARDS = MAX_STREETS // STREETS_PER_SHARD  # 95; beyond: street reuse
+
 
 def _n_streets(n: int) -> int:
     return min(max(BASE_STREETS, n // HOUSES_PER_STREET), MAX_STREETS)
@@ -420,18 +435,33 @@ def _pick(col_arr: list[str], idx: Column) -> Column:
     return F.element_at(F.array(*[F.lit(x) for x in col_arr]), (idx + 1).cast("int"))
 
 
-def grid_canonical_flat(spark: SparkSession, n: int) -> DataFrame:
+def grid_canonical_flat(
+    spark: SparkSession, n: int, street_model: str = "sharded"
+) -> DataFrame:
     """n canonical addresses, fully distributed + deterministic.
 
     Uniqueness by construction: house number = dense rank of the id within
     its street (one window pass at generation time only).
+
+    ``street_model``: 'sharded' (default — street sizes bounded by the
+    50k-doc shard distribution, pairs/doc flat in n; identical to the old
+    model for n <= 50k) or 'global' (the pre-round-5 formula whose
+    hottest street grows ~n^0.6 — kept for side-by-side benchmarking of
+    the generator change, see BENCH/BASELINE.md).
     """
     from pyspark.sql import Window
 
     df = spark.range(n).withColumnRenamed("id", "seq")
-    n_streets = _n_streets(n)
     u = (F.abs(F.xxhash64(F.lit("street"), F.col("seq"))) % 100000) / 100000.0
-    street_idx = F.floor(F.pow(u, F.lit(STREET_SKEW)) * n_streets).cast("long")
+    if street_model == "sharded":
+        shard = (F.col("seq") / SHARD_DOCS).cast("long") % MAX_SHARDS
+        local = F.floor(F.pow(u, F.lit(STREET_SKEW)) * STREETS_PER_SHARD)
+        street_idx = (shard * STREETS_PER_SHARD + local).cast("long")
+    elif street_model == "global":
+        n_streets = _n_streets(n)
+        street_idx = F.floor(F.pow(u, F.lit(STREET_SKEW)) * n_streets).cast("long")
+    else:
+        raise ValueError(f"unknown street_model: {street_model!r}")
     df = df.withColumn("street_idx", street_idx)
     w = Window.partitionBy("street_idx").orderBy("seq")
     df = df.withColumn("house_no", F.row_number().over(w))
@@ -601,10 +631,13 @@ def skew_postcodes(
 
 
 def grid_documents(
-    spark: SparkSession, n_canonical: int, dup_factor: int = 1
+    spark: SparkSession,
+    n_canonical: int,
+    dup_factor: int = 1,
+    street_model: str = "sharded",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(canonical_docs, messy_docs, labels) at any scale."""
-    canon = grid_canonical_flat(spark, n_canonical)
+    canon = grid_canonical_flat(spark, n_canonical, street_model=street_model)
     messy, labels = messy_from_canonical(canon, dup_factor)
     # AQE coalesces the house-number window's shuffle output to ONE
     # partition (the rows are tiny by bytes), so without this every

@@ -146,6 +146,19 @@ def build_side_tables(
                 f"{max_side_rows:,} rows — pre-aggregate or filter it "
                 "before passing, or raise max_side_rows explicitly."
             )
+        # the scoring kernel's branch-and-bound early exit derives its
+        # histogram-BF bounds from "every rel_freq factor <= 1" (a
+        # frequency SHARE by definition; the on-the-fly path above is a
+        # share by construction) — refuse loudly rather than prune
+        # unsoundly if a caller passes raw counts
+        bad = [r for r in tf_rows if r[1] is not None and r[1] > 1.0]
+        if bad:
+            raise ValueError(
+                f"build_side_tables: rel_tok_freq contains values > 1.0 "
+                f"(e.g. {bad[0][0]!r} -> {bad[0][1]}); rel_freq must be a "
+                "relative frequency share in (0, 1] — normalise counts "
+                "before passing."
+            )
         tf = spark.createDataFrame(tf_rows, "token string, rel_freq double")
     return SideTables(rel_tok_freq=tf, numeric_tf=ntf, common_end_tokens=cet)
 
@@ -240,17 +253,22 @@ def link_cleaned(
     caller; each feeds multiple plan branches here.
     """
     from uk_address_matcher_spark.scoring import attach_display_columns
-    from uk_address_matcher_spark.second_pass import prune_candidates
+    from uk_address_matcher_spark.second_pass import (
+        PRUNE_MATCH_WEIGHT_THRESHOLD,
+        PRUNE_TOP_N,
+    )
 
     pairs = block(cl, cr, rules=rules, salt=salt)
     if checkpointer is not None:
         pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
     # score in COMPACT form (no display strings through the pair
-    # exchanges); when the second pass follows, prune to exactly its
-    # candidate set (its own threshold -20 + top-5 per messy record)
-    # BEFORE attaching text columns and writing the pass-1 checkpoint —
-    # everything below that cut is unreachable downstream, and at the
-    # default -50 threshold it is ~95% of the scored rows
+    # exchanges); when the second pass follows, the prune to exactly its
+    # candidate set (threshold -20 + top-5 per messy record) is FUSED
+    # into score_pairs, whose branch-and-bound early exit then skips the
+    # expensive histogram product for every pair provably outside that
+    # cut — at the default thresholds that is the large majority of
+    # blocked pairs — and nothing below the cut reaches the re-attach
+    # joins or the pass-1 checkpoint
     pred = score_pairs(
         pairs,
         cl,
@@ -259,9 +277,10 @@ def link_cleaned(
         threshold_match_weight=threshold_match_weight,
         retain_matching_columns=not second_pass,
         attach_display=False,
+        prune_top_n=(
+            (PRUNE_MATCH_WEIGHT_THRESHOLD, PRUNE_TOP_N) if second_pass else None
+        ),
     )
-    if second_pass:
-        pred = prune_candidates(pred)
     pred = attach_display_columns(
         pred, cl, cr, retain_matching_columns=not second_pass
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from uk_address_matcher_spark import sqlexpr as X
@@ -110,8 +110,24 @@ def _tf_mult_sql(u_level: float, tf_weight: float, tf_l: str, tf_r: str) -> str:
     )
 
 
+def _bucket_sql(prod: str) -> str:
+    """The 34-level product-threshold ladder as SQL over an arbitrary
+    (already-bound) product expression. Non-increasing in ``prod``:
+    smaller products hit earlier (higher-weight) levels — the bound
+    derivation in score_pairs relies on this monotonicity."""
+    return X.cascade(
+        [
+            (f"{prod} < {X.d(10.0 ** exp)}", X.d(_w2bf(weight)))
+            for exp, weight in _token_hist_levels()
+        ]
+        + [(None, X.d(1 / 256))]
+    )
+
+
 @X.scoped
-def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
+def comparison_bf_sqls(
+    oac_sig: bool = False, precomputed_digits: bool = False
+) -> dict[str, str]:
     """All 8 comparison BF expressions as SQL text over a suffixed pair
     row (cols *_l/*_r plus tf_numeric_token_{1,2,3}_{l,r}).
 
@@ -120,6 +136,12 @@ def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
     the equality-only comparison doesn't need the text, and dropping the
     two longest strings from the pair shuffle is a large payload win
     (score_pairs re-attaches the text after the threshold filter).
+
+    ``precomputed_digits=True``: numeric_token_1 level 3 compares the
+    per-RECORD ``__nt1_dg_l/_r`` columns (score_pairs._compact extracts
+    the digit run once per record) instead of running regexp_extract per
+    PAIR — the values are identical by construction, the regex runs n
+    times instead of n_pairs times.
 
     Why strings: the Column API costs one Py4J round-trip per operator
     node; this kernel has thousands. One ``F.expr`` per comparison
@@ -173,12 +195,17 @@ def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
         return f"nullif(regexp_extract({col}, '\\\\d+', 0), '')"
 
     tf1 = _tf_mult_sql(1.0, 0.1, "tf_numeric_token_1_l", "tf_numeric_token_1_r")
+    dg_l, dg_r = (
+        ("__nt1_dg_l", "__nt1_dg_r")
+        if precomputed_digits
+        else (digits("numeric_token_1_l"), digits("numeric_token_1_r"))
+    )
     n1 = X.cascade(
         [
             ("(numeric_token_1_l IS NULL OR numeric_token_1_r IS NULL)", "1.0D"),
             ("numeric_token_1_l = numeric_token_1_r", f"{X.d(_w2bf(6.57))} * {tf1}"),
             (
-                f"{digits('numeric_token_1_l')} = {digits('numeric_token_1_r')}",
+                f"{dg_l} = {dg_r}",
                 f"{X.d(_w2bf(6.57))} * {tf1}",
             ),
             (
@@ -224,17 +251,6 @@ def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
     # 6. token_rel_freq_arr_hist — 34 product-threshold levels
     #    (training.py:386-455); product computed once (let-bound),
     #    bucketed by the when ladder
-    levels = _token_hist_levels()
-
-    def bucket(prod: str) -> str:
-        return X.cascade(
-            [
-                (f"{prod} < {X.d(10.0 ** exp)}", X.d(_w2bf(weight)))
-                for exp, weight in levels
-            ]
-            + [(None, X.d(1 / 256))]
-        )
-
     tok_hist = X.cascade(
         [
             (
@@ -248,7 +264,7 @@ def comparison_bf_sqls(oac_sig: bool = False) -> dict[str, str]:
                     _hist_prod_sql(
                         "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r"
                     ),
-                    bucket,
+                    _bucket_sql,
                 ),
             ),
         ]
@@ -530,6 +546,7 @@ def attach_numeric_tf(df: DataFrame, numeric_tf: DataFrame, suffix: str) -> Data
     return df
 
 
+@X.scoped
 def score_pairs(
     pairs: DataFrame,
     cleaned_l: DataFrame,
@@ -539,8 +556,43 @@ def score_pairs(
     retain_bf: bool = False,
     retain_matching_columns: bool = True,
     attach_display: bool = True,
+    prune_top_n: tuple[float, int] | None = None,
+    early_exit: bool = True,
 ) -> DataFrame:
     """(unique_id_l, unique_id_r) pairs -> scored prediction table.
+
+    ``prune_top_n=(thr, n)``: the output is EXACTLY
+    ``prune_candidates(full_output, thr, n)`` — weight > thr and rank <= n
+    per messy record by (weight DESC, unique_id_l DESC) — fused here so
+    the kernel can skip unreachable pairs (see early_exit).
+
+    ``early_exit`` (on by default whenever a threshold or prune is
+    given): two-stage branch-and-bound kernel. Stage 1 computes the six
+    CHEAP scalar comparisons (equality/levenshtein on short strings) plus
+    sound per-pair bounds on the total weight; the expensive
+    token-histogram intersection product (the 34-level ladder, measured
+    ~60% of pass-1 CPU) and the common-end product run in stage 2 ONLY
+    for pairs whose upper bound clears the threshold and — under
+    prune_top_n — the 5th-best lower bound of their messy record's
+    candidate group. Bound construction:
+     - histogram BF upper bound: bucket(max(prodall_l, prodall_r)) where
+       prodall is each side's full product (precomputed per record in
+       _compact) — a lower bound on the intersection product since every
+       factor is <= 1 (requires rel_freq <= 1, validated at side-table
+       build); lower bound: bucket(1.0) = 2^-1 (intersection product
+       <= 1.0 always).
+     - common-end BF: EXACT in stage 1 when either side is null (1.0) or
+       when max(prodall) >= 1e-2 (the product can only be >= that, so
+       the <1e-2 level can't fire -> 1/1.5); else bounded [1/1.5, 4.0].
+     - bounds are padded by ±1e-9 against float-summation-order drift.
+    A pair is dropped only when provably outside the output: upper bound
+    <= threshold, or >= n pairs in its group have lower bounds strictly
+    above its upper bound (those n then outrank it at ANY tie-break).
+    Surviving pairs get their weight from the FULL kernel with terms
+    summed in the exact original order, so every emitted weight is
+    bit-identical to the single-stage kernel (equivalence-tested).
+    ``early_exit=False`` forces the single-stage kernel (the reference
+    path for that test).
 
     ``attach_display=False`` returns the COMPACT scored rows (ids,
     weights, postcodes, numeric/flat tokens, packed histograms, __oac_sig
@@ -607,15 +659,39 @@ def score_pairs(
             ),
         )
 
+    def _prod_all_sql(hist: str) -> str:
+        # product over ALL of one side's histogram entries of
+        # rel_freq^cnt — a LOWER bound on the pairwise intersection
+        # product (intersection ⊆ side, min(cnt_l,cnt_r) <= cnt_side,
+        # every factor <= 1), hence bucketed it upper-bounds the
+        # histogram BF per pair WITHOUT touching the per-pair product.
+        # Computed once per RECORD here (n rows), not per pair.
+        a, e = X.gensym("a"), X.gensym("e")
+        return (
+            f"aggregate({hist}, 1.0D, ({a}, {e}) -> "
+            f"{a} * pow({e}.rel_freq, cast({e}.cnt as double)))"
+        )
+
     def _compact(df: DataFrame, keep: list[str]) -> DataFrame:
         out = df.select(keep)
         if "token_rel_freq_arr_hist" in out.columns:
             out = out.withColumn(
                 "token_rel_freq_arr_hist", _pack_hist(F.col("token_rel_freq_arr_hist"))
+            ).withColumn(
+                "__hist_pa", F.expr(_prod_all_sql("token_rel_freq_arr_hist"))
             )
         if "common_end_tokens_hist" in out.columns:
             out = out.withColumn(
                 "common_end_tokens_hist", _pack_hist(F.col("common_end_tokens_hist"))
+            ).withColumn(
+                "__cet_pa", F.expr(_prod_all_sql("common_end_tokens_hist"))
+            )
+        if "numeric_token_1" in out.columns:
+            # digit run extracted once per record; the n1 cascade's level 3
+            # compares these instead of regexp_extract-ing per pair
+            out = out.withColumn(
+                "__nt1_dg",
+                F.expr("nullif(regexp_extract(numeric_token_1, '\\\\d+', 0), '')"),
             )
         if "original_address_concat" in out.columns:
             out = out.withColumn(
@@ -643,7 +719,53 @@ def score_pairs(
             df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(None).cast("double"))
             df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
 
-    bf_sqls = comparison_bf_sqls(oac_sig=True)
+    bf_sqls = comparison_bf_sqls(oac_sig=True, precomputed_digits=True)
+    prune_thr, top_n = prune_top_n if prune_top_n is not None else (None, None)
+    thr_parts = [t for t in (threshold_match_weight, prune_thr) if t is not None]
+    thr_eff = max(thr_parts) if thr_parts else None
+    use_bnb = early_exit and thr_eff is not None
+
+    if use_bnb:
+        df = _two_stage_kernel(df, bf_sqls, thr_eff, top_n, retain_bf)
+    else:
+        df = _single_stage_kernel(df, bf_sqls)
+    df = df.withColumn(
+        "match_probability",
+        F.expr("pow(2.0D, match_weight) / (1.0D + pow(2.0D, match_weight))"),
+    )
+    if thr_eff is not None:
+        df = df.filter(F.col("match_weight") > thr_eff)
+    if top_n is not None:
+        w = Window.partitionBy("unique_id_r").orderBy(
+            F.desc("match_weight"), F.desc("unique_id_l")
+        )
+        df = (
+            df.withColumn("__rn_w", F.row_number().over(w))
+            .filter(F.col("__rn_w") <= top_n)
+            .drop("__rn_w")
+        )
+    df = df.drop(
+        "__w_prefix", "__bf_pc", "__cet_known", "__ub", "__lb", "__lb_elig",
+        "__rn_lb", "__l5", "__hist_pa_l", "__hist_pa_r", "__cet_pa_l",
+        "__cet_pa_r", "__nt1_dg_l", "__nt1_dg_r",
+    )
+    if not retain_bf:
+        df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
+    if attach_display:
+        df = attach_display_columns(df, cleaned_l, cleaned_r, retain_matching_columns)
+    return df
+
+
+_CHEAP5 = [
+    "bf_original_address_concat",
+    "bf_flat_positional",
+    "bf_numeric_token_1",
+    "bf_numeric_token_2",
+    "bf_numeric_token_3",
+]
+
+
+def _single_stage_kernel(df: DataFrame, bf_sqls: dict[str, str]) -> DataFrame:
     df = df.withColumns({name: F.expr(sql) for name, sql in bf_sqls.items()})
 
     log_sum = " + ".join(f"log2({name})" for name in bf_sqls)
@@ -659,21 +781,129 @@ def score_pairs(
     # the kernel runs exactly once and consumers read the materialised
     # column. (A boolean guard like ``rand() >= -1`` does NOT survive:
     # Spark 4 folds out-of-range rand comparisons to literals.)
-    df = df.withColumn(
+    return df.withColumn(
         "match_weight",
         F.expr(f"{X.d(PRIOR_LOG2_ODDS)} + {log_sum} + 0.0D * rand(7)"),
     )
+
+
+def _two_stage_kernel(
+    df: DataFrame,
+    bf_sqls: dict[str, str],
+    thr_eff: float,
+    top_n: int | None,
+    retain_bf: bool,
+) -> DataFrame:
+    """Branch-and-bound kernel: cheap comparisons + bounds, prune, then
+    the expensive histogram/common-end products on survivors only. See
+    score_pairs docstring for the bound derivation and soundness
+    argument. Every intermediate is pinned (see _single_stage_kernel's
+    comment on the 0.0*rand idiom) so each is computed exactly once per
+    pair however many downstream consumers reference it."""
+    # ---- stage 1: six cheap scalar comparisons + weight bounds ----
+    if retain_bf:
+        df = df.withColumns(
+            {n: F.expr(X.pin(bf_sqls[n], 30 + i)) for i, n in enumerate(_CHEAP5)}
+        )
+        prefix_terms = [f"log2({n})" for n in _CHEAP5]
+    else:
+        prefix_terms = [f"log2({bf_sqls[n]})" for n in _CHEAP5]
+    pc = "bf_postcode" if retain_bf else "__bf_pc"
+    df = df.withColumn(pc, F.expr(X.pin(bf_sqls["bf_postcode"], 36)))
+    # __w_prefix = prior + the first five log-BF terms in the ORIGINAL
+    # summation order, so the final weight (prefix + hist + cet + pc) is
+    # the bit-identical left-associated sum the single-stage kernel emits
     df = df.withColumn(
-        "match_probability",
-        F.expr("pow(2.0D, match_weight) / (1.0D + pow(2.0D, match_weight))"),
+        "__w_prefix",
+        F.expr(X.pin(f"{X.d(PRIOR_LOG2_ODDS)} + " + " + ".join(prefix_terms), 37)),
     )
-    if threshold_match_weight is not None:
-        df = df.filter(F.col("match_weight") > threshold_match_weight)
-    if not retain_bf:
-        df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
-    if attach_display:
-        df = attach_display_columns(df, cleaned_l, cleaned_r, retain_matching_columns)
-    return df
+    df = df.withColumn(
+        "__cet_known",
+        F.expr(
+            X.pin(
+                "CASE WHEN common_end_tokens_hist_l IS NULL "
+                "OR common_end_tokens_hist_r IS NULL THEN 1.0D "
+                f"WHEN greatest(__cet_pa_l, __cet_pa_r) >= {X.d(1e-2)} "
+                f"THEN {X.d(1 / 1.5)} END",
+                38,
+            )
+        ),
+    )
+    hist_null = (
+        "token_rel_freq_arr_hist_l IS NULL OR token_rel_freq_arr_hist_r IS NULL"
+    )
+    hist_ub = (
+        f"CASE WHEN {hist_null} THEN 1.0D ELSE "
+        + X.let("greatest(__hist_pa_l, __hist_pa_r)", _bucket_sql)
+        + " END"
+    )
+    hist_lb = f"CASE WHEN {hist_null} THEN 1.0D ELSE 0.5D END"
+    eps = X.d(1e-9)
+    df = df.withColumn(
+        "__ub",
+        F.expr(
+            X.pin(
+                f"__w_prefix + log2({hist_ub}) "
+                f"+ log2(coalesce(__cet_known, 4.0D)) + log2({pc}) + {eps}",
+                39,
+            )
+        ),
+    )
+    df = df.filter(F.col("__ub") > thr_eff)
+    if top_n is not None:
+        df = df.withColumn(
+            "__lb",
+            F.expr(
+                X.pin(
+                    f"__w_prefix + log2({hist_lb}) "
+                    f"+ log2(coalesce(__cet_known, {X.d(1 / 1.5)})) "
+                    f"+ log2({pc}) - {eps}",
+                    40,
+                )
+            ),
+        )
+        # only pairs that provably survive the threshold may outrank
+        df = df.withColumn(
+            "__lb_elig", F.expr(f"CASE WHEN __lb > {X.d(thr_eff)} THEN __lb END")
+        )
+        grp = Window.partitionBy("unique_id_r")
+        df = df.withColumn(
+            "__rn_lb",
+            F.row_number().over(grp.orderBy(F.desc_nulls_last("__lb_elig"))),
+        )
+        df = df.withColumn(
+            "__l5",
+            F.max(
+                F.when(
+                    (F.col("__rn_lb") == top_n) & F.col("__lb_elig").isNotNull(),
+                    F.col("__lb_elig"),
+                )
+            ).over(grp),
+        )
+        # drop only when >= top_n group members have lower bounds STRICTLY
+        # above this pair's upper bound (ties keep the pair — soundness)
+        df = df.filter(F.col("__l5").isNull() | (F.col("__ub") >= F.col("__l5")))
+
+    # ---- stage 2: the expensive products, survivors only ----
+    cet_sql = (
+        "CASE WHEN __cet_known IS NOT NULL THEN __cet_known "
+        f"ELSE {bf_sqls['bf_common_end_tokens']} END"
+    )
+    hist_sql = bf_sqls["bf_token_rel_freq_arr_hist"]
+    if retain_bf:
+        df = df.withColumn(
+            "bf_token_rel_freq_arr_hist", F.expr(X.pin(hist_sql, 41))
+        ).withColumn("bf_common_end_tokens", F.expr(X.pin(cet_sql, 42)))
+        hist_term, cet_term = "bf_token_rel_freq_arr_hist", "bf_common_end_tokens"
+    else:
+        hist_term, cet_term = hist_sql, cet_sql
+    return df.withColumn(
+        "match_weight",
+        F.expr(
+            f"__w_prefix + log2({hist_term}) + log2({cet_term}) "
+            f"+ log2({pc}) + 0.0D * rand(7)"
+        ),
+    )
 
 
 def attach_display_columns(

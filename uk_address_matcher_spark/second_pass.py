@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 
 from uk_address_matcher_spark import sqlexpr as X
 
+# pass-1 -> pass-2 candidate cut (reference
+# identify_distinguishing_tokens.py:8-9); linkage fuses this prune into
+# score_pairs (branch-and-bound early exit), so the constants live here
+# once
+PRUNE_MATCH_WEIGHT_THRESHOLD = -20.0
+PRUNE_TOP_N = 5
+
 REWARD_MULTIPLIER = 3.0
 PUNISHMENT_MULTIPLIER = 1.5
 BIGRAM_REWARD_MULTIPLIER = 3.0
@@ -112,8 +119,8 @@ def _map_sum_inv_sq(m: str) -> str:
 
 def prune_candidates(
     df_predict: DataFrame,
-    match_weight_threshold: float = -20.0,
-    top_n_matches: int = 5,
+    match_weight_threshold: float = PRUNE_MATCH_WEIGHT_THRESHOLD,
+    top_n_matches: int = PRUNE_TOP_N,
 ) -> DataFrame:
     """Steps 1-2 of the rescoring pass: threshold + top-n per messy record
     (DESC weight, DESC id). Exposed separately so the linkage driver can
@@ -138,8 +145,8 @@ def prune_candidates(
 @X.scoped
 def improve_predictions_using_distinguishing_tokens(
     df_predict: DataFrame,
-    match_weight_threshold: float = -20.0,
-    top_n_matches: int = 5,
+    match_weight_threshold: float = PRUNE_MATCH_WEIGHT_THRESHOLD,
+    top_n_matches: int = PRUNE_TOP_N,
     use_bigrams: bool = True,
     checkpointer=None,
 ) -> DataFrame:

@@ -36,12 +36,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# quiet-box reference values for the two canary queries (sf0.1,
-# local[32]); a min-of-2 exceeding the tolerance band means even the
-# better run was noisy and the record should not be trusted as a plan
-# regression signal
-CANARY_REF = {"knn_bruteforce": 2.6, "pricing_summary": 0.34}
+# Canary queries (sf0.1, local[32]): knn_bruteforce / pricing_summary
+# touch no linkage code, so a min-of-2 exceeding the tolerance band means
+# even the better run was noisy and the record should not be trusted as a
+# plan-regression signal. References are DERIVED from the committed
+# rolling history (min per query over green records) rather than
+# hard-coded, so the gate survives corpus/suite changes without editing
+# source; a green run appends its canary values back to the history.
+CANARY_HISTORY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "canary_history.json"
+)
 CANARY_TOL = 1.3
+
+
+def _canary_refs() -> dict[str, float]:
+    with open(CANARY_HISTORY) as f:
+        records = json.load(f)["records"]
+    refs: dict[str, float] = {}
+    for rec in records:
+        for q, v in rec.items():
+            if q == "source":
+                continue
+            refs[q] = min(refs.get(q, float("inf")), float(v))
+    if not refs:
+        raise ValueError(f"{CANARY_HISTORY} has no canary records")
+    return refs
+
+
+def _append_canary_record(best: dict[str, float], refs: dict[str, float]) -> None:
+    with open(CANARY_HISTORY) as f:
+        hist = json.load(f)
+    hist["records"].append(
+        {"source": "bench.py green run", **{q: best[q] for q in refs}}
+    )
+    tmp = CANARY_HISTORY + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(hist, f, indent=2)
+    os.replace(tmp, CANARY_HISTORY)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -171,14 +202,17 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
     meta["n_predictions"] = n_pred_seen.pop()
 
     best = {name: min(r[name] for r in runs) for name, _ in suite}
+    canary_ref = _canary_refs()
     canaries = {
         q: {
             "best": best[q],
-            "ref": CANARY_REF[q],
-            "ok": best[q] <= CANARY_REF[q] * CANARY_TOL,
+            "ref": canary_ref[q],
+            "ok": best[q] <= canary_ref[q] * CANARY_TOL,
         }
-        for q in CANARY_REF
+        for q in canary_ref
     }
+    if all(c["ok"] for c in canaries.values()):
+        _append_canary_record(best, canary_ref)
 
     total = round(sum(best.values()), 3)
     result = {

@@ -558,6 +558,7 @@ def score_pairs(
     attach_display: bool = True,
     prune_top_n: tuple[float, int] | None = None,
     early_exit: bool = True,
+    debug_stage_counts: dict | None = None,
 ) -> DataFrame:
     """(unique_id_l, unique_id_r) pairs -> scored prediction table.
 
@@ -726,7 +727,9 @@ def score_pairs(
     use_bnb = early_exit and thr_eff is not None
 
     if use_bnb:
-        df = _two_stage_kernel(df, bf_sqls, thr_eff, top_n, retain_bf)
+        df = _two_stage_kernel(
+            df, bf_sqls, thr_eff, top_n, retain_bf, debug_stage_counts
+        )
     else:
         df = _single_stage_kernel(df, bf_sqls)
     df = df.withColumn(
@@ -793,6 +796,7 @@ def _two_stage_kernel(
     thr_eff: float,
     top_n: int | None,
     retain_bf: bool,
+    debug_stage_counts: dict | None = None,
 ) -> DataFrame:
     """Branch-and-bound kernel: cheap comparisons + bounds, prune, then
     the expensive histogram/common-end products on survivors only. See
@@ -849,6 +853,15 @@ def _two_stage_kernel(
             )
         ),
     )
+    if debug_stage_counts is not None:
+        # diagnostic only (extra jobs re-run the attach lineage): how much
+        # of the blocked-pair volume each early-exit stage removes
+        agg = df.agg(
+            F.count("*").alias("n_input"),
+            F.count(F.when(F.col("__ub") > thr_eff, 1)).alias("n_after_ub"),
+        ).collect()[0]
+        debug_stage_counts["n_input"] = agg["n_input"]
+        debug_stage_counts["n_after_ub"] = agg["n_after_ub"]
     df = df.filter(F.col("__ub") > thr_eff)
     if top_n is not None:
         df = df.withColumn(
@@ -883,6 +896,8 @@ def _two_stage_kernel(
         # drop only when >= top_n group members have lower bounds STRICTLY
         # above this pair's upper bound (ties keep the pair — soundness)
         df = df.filter(F.col("__l5").isNull() | (F.col("__ub") >= F.col("__l5")))
+        if debug_stage_counts is not None:
+            debug_stage_counts["n_after_rank"] = df.count()
 
     # ---- stage 2: the expensive products, survivors only ----
     cet_sql = (

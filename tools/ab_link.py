@@ -7,7 +7,7 @@ regardless of variant order. Each child replays exactly the bench.py
 addr_link_2pass flow (50k+50k grid corpus, side tables, two-pass link,
 slim parquet barrier, transitive clustering) and prints one JSON line.
 
-Usage: python tools/ab_link.py [n_rounds=2] [cpus=32]
+Usage: python tools/ab_link.py [n_rounds=2] [cpus=32] [n_canonical=50000]
 Variants: 'bnb' (two-stage branch-and-bound kernel, the default path)
 vs 'single' (early_exit=False single-stage kernel).
 """
@@ -27,6 +27,7 @@ sys.path.insert(0, %(repo)r)
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 variant = sys.argv[1]
 cpus = int(sys.argv[2])
+n_canon = int(sys.argv[3])
 
 from pyspark.sql import functions as F
 from uk_address_matcher_spark.corpus import domain_token_frequencies, grid_documents
@@ -37,12 +38,11 @@ from uk_address_matcher_spark.session import get_spark
 import uk_address_matcher_spark.linkage as L
 import uk_address_matcher_spark.scoring as S
 
-if variant == "single":
-    L.score_pairs = functools.partial(S.score_pairs, early_exit=False)
+L.score_pairs = functools.partial(S.score_pairs, early_exit=(variant == "bnb"))
 
 spark = get_spark(app_name=f"uam_ab_{variant}", master=f"local[{cpus}]",
                   shuffle_partitions=max(2 * cpus, 8))
-canon_docs, messy_docs, _ = grid_documents(spark, 50000, dup_factor=1)
+canon_docs, messy_docs, _ = grid_documents(spark, n_canon, dup_factor=1)
 canon = extract_addresses(canon_docs).cache()
 messy = extract_addresses(messy_docs).cache()
 canon.count(), messy.count()
@@ -68,13 +68,14 @@ spark.stop()
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
+    n_canon = sys.argv[3] if len(sys.argv) > 3 else "50000"
     results: dict[str, list[dict]] = {"bnb": [], "single": []}
     for _ in range(rounds):
         for variant in ("bnb", "single"):
             with open("/proc/loadavg") as f:
                 load = f.read().split()[0]
             out = subprocess.run(
-                [sys.executable, "-c", CHILD, variant, cpus],
+                [sys.executable, "-c", CHILD, variant, cpus, n_canon],
                 capture_output=True, text=True, cwd=REPO,
             )
             line = out.stdout.strip().splitlines()[-1]

@@ -557,7 +557,7 @@ def score_pairs(
     retain_matching_columns: bool = True,
     attach_display: bool = True,
     prune_top_n: tuple[float, int] | None = None,
-    early_exit: bool = True,
+    early_exit: bool = False,
     debug_stage_counts: dict | None = None,
 ) -> DataFrame:
     """(unique_id_l, unique_id_r) pairs -> scored prediction table.
@@ -567,8 +567,19 @@ def score_pairs(
     per messy record by (weight DESC, unique_id_l DESC) — fused here so
     the kernel can skip unreachable pairs (see early_exit).
 
-    ``early_exit`` (on by default whenever a threshold or prune is
-    given): two-stage branch-and-bound kernel. Stage 1 computes the six
+    ``early_exit``: two-stage branch-and-bound kernel — implemented,
+    equivalence-tested, and measured; DEFAULT OFF as a data-driven
+    decision. On the grid corpus the bound filter removes nothing
+    (every blocked pair's upper bound clears -20: blocked pairs share
+    street tokens, so bucket(prodall) is within a few bits of the true
+    histogram BF for exactly the pairs that matter) and the rank bound
+    removes only ~17%, while the bound columns + extra per-group sort
+    cost ~15% wall (sf0.1 A/B, min-of-2 per variant across interleaved
+    processes: single-stage 35.1s vs two-stage 41.0s, identical 245,821
+    predictions — tools/ab_link.py, BENCH/BASELINE.md round 5). The
+    switch stays for corpora where cross-block junk dominates (candidate
+    sets with many provably-sub-threshold pairs), where stage 1's cut is
+    structural. Mechanism when on: stage 1 computes the six
     CHEAP scalar comparisons (equality/levenshtein on short strings) plus
     sound per-pair bounds on the total weight; the expensive
     token-histogram intersection product (the 34-level ladder, measured
@@ -592,8 +603,7 @@ def score_pairs(
     Surviving pairs get their weight from the FULL kernel with terms
     summed in the exact original order, so every emitted weight is
     bit-identical to the single-stage kernel (equivalence-tested).
-    ``early_exit=False`` forces the single-stage kernel (the reference
-    path for that test).
+    ``early_exit=False`` (the default) runs the single-stage kernel.
 
     ``attach_display=False`` returns the COMPACT scored rows (ids,
     weights, postcodes, numeric/flat tokens, packed histograms, __oac_sig

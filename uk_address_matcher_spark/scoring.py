@@ -688,15 +688,22 @@ def score_pairs(
         if "token_rel_freq_arr_hist" in out.columns:
             out = out.withColumn(
                 "token_rel_freq_arr_hist", _pack_hist(F.col("token_rel_freq_arr_hist"))
-            ).withColumn(
-                "__hist_pa", F.expr(_prod_all_sql("token_rel_freq_arr_hist"))
             )
+            if early_exit:
+                # per-record bound input for the two-stage kernel only —
+                # the default path must not pay 16 bytes/pair for it
+                # through the bandwidth-bound pair-attach exchange
+                out = out.withColumn(
+                    "__hist_pa", F.expr(_prod_all_sql("token_rel_freq_arr_hist"))
+                )
         if "common_end_tokens_hist" in out.columns:
             out = out.withColumn(
                 "common_end_tokens_hist", _pack_hist(F.col("common_end_tokens_hist"))
-            ).withColumn(
-                "__cet_pa", F.expr(_prod_all_sql("common_end_tokens_hist"))
             )
+            if early_exit:
+                out = out.withColumn(
+                    "__cet_pa", F.expr(_prod_all_sql("common_end_tokens_hist"))
+                )
         if "numeric_token_1" in out.columns:
             # digit run extracted once per record; the n1 cascade's level 3
             # compares these instead of regexp_extract-ing per pair

@@ -471,6 +471,21 @@ def grid_canonical_flat(
     # different (injective) postcode sector — as real street names do
     # across UK towns; (address_concat, postcode) stays globally unique
     name = _pick(_STREET_NAMES, F.col("street_idx") % len(_STREET_NAMES))
+    if street_model == "sharded":
+        # NAME-TOKEN VOCABULARY must grow with the corpus, as real data's
+        # does: with the fixed 40-name vocabulary, the token-keyed
+        # blocking rules go superlinear — measured per-rule at 50k vs
+        # 500k canonical, rule [(V1,V1),(N1,N1)] (very-unusual token +
+        # house number, no postcode) is 1.3M pairs (34%) at 100k docs but
+        # 125.8M (80%) at 1M: ~n^2, because every 40th street shares one
+        # name token. Suffix the name with the text-range index so each
+        # 5,120-street range gets a fresh 40-name vocabulary (vocab size
+        # ~ n_streets/128, block sizes flat in n). street_idx < 5120
+        # covers all n <= 50k canonical (shard 0 only) — those corpora,
+        # including the sf0.1 bench and every golden pin, are unchanged.
+        text_radix = len(_STREET_NAMES) * len(_STREET_KINDS) * len(_TOWNS)
+        g = (F.col("street_idx") / text_radix).cast("long")
+        name = F.when(g > 0, F.concat(name, g.cast("string"))).otherwise(name)
     kind = _pick(
         _STREET_KINDS,
         (F.col("street_idx") / len(_STREET_NAMES)).cast("long") % len(_STREET_KINDS),

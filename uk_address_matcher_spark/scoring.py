@@ -102,6 +102,38 @@ def _hist_prod_sql(hl: str, hr: str) -> str:
     return f"aggregate({hl}, 1.0D, ({acc}, {e}) -> {acc} * {body})"
 
 
+def _hist_prod_parallel_sql(prefix: str) -> str:
+    """Intersection product over the PARALLEL-ARRAY histogram encoding
+    (see score_pairs._compact): per side ``{prefix}_tok`` array<bigint>
+    (xxhash64 of tok, side-distinct), ``{prefix}_cnt`` array<bigint>,
+    and on the LEFT side ``{prefix}_rf`` array<double> — the product
+    reads only the left side's rel_freq (min-cnt exponent, left entry
+    order), exactly like :func:`hist_intersection_product`, so the right
+    side never ships its rel_freq array at all.
+
+    vs the struct probe (_hist_prod_sql): array_position over a dense
+    primitive long array SHORT-CIRCUITS at the first hit where
+    filter(...) materialises the whole filtered struct array, and the
+    per-entry struct headers disappear from the pair-attach exchange.
+    Multiplication order is the left entry order either way, so the
+    emitted double is bit-identical.
+    """
+    tl, cl_, rl = f"{prefix}_tok_l", f"{prefix}_cnt_l", f"{prefix}_rf_l"
+    tr, cr_ = f"{prefix}_tok_r", f"{prefix}_cnt_r"
+    t, p, i = X.gensym("t"), X.gensym("p"), X.gensym("i")
+    acc, x = X.gensym("acc"), X.gensym("x")
+    pos = f"transform({tl}, {t} -> cast(array_position({tr}, {t}) as int))"
+    body = (
+        f"CASE WHEN {p} > 0 THEN pow(element_at({rl}, {i} + 1), "
+        f"cast(least(element_at({cl_}, {i} + 1), element_at({cr_}, {p})) as double)) "
+        f"ELSE 1.0D END"
+    )
+    return (
+        f"aggregate(transform({pos}, ({p}, {i}) -> {body}), 1.0D, "
+        f"({acc}, {x}) -> {acc} * {x})"
+    )
+
+
 def _tf_mult_sql(u_level: float, tf_weight: float, tf_l: str, tf_r: str) -> str:
     tf = f"greatest({tf_l}, {tf_r})"
     return (
@@ -126,7 +158,9 @@ def _bucket_sql(prod: str) -> str:
 
 @X.scoped
 def comparison_bf_sqls(
-    oac_sig: bool = False, precomputed_digits: bool = False
+    oac_sig: bool = False,
+    precomputed_digits: bool = False,
+    parallel_hists: bool = False,
 ) -> dict[str, str]:
     """All 8 comparison BF expressions as SQL text over a suffixed pair
     row (cols *_l/*_r plus tf_numeric_token_{1,2,3}_{l,r}).
@@ -142,6 +176,12 @@ def comparison_bf_sqls(
     the digit run once per record) instead of running regexp_extract per
     PAIR — the values are identical by construction, the regex runs n
     times instead of n_pairs times.
+
+    ``parallel_hists=True``: comparisons 6 and 7 read the parallel-array
+    histogram encoding (``__th_*``/``__ch_*`` columns, see
+    score_pairs._compact and _hist_prod_parallel_sql) instead of the
+    array-of-struct histograms — same values, same product order,
+    bit-identical BFs.
 
     Why strings: the Column API costs one Py4J round-trip per operator
     node; this kernel has thousands. One ``F.expr`` per comparison
@@ -251,38 +291,38 @@ def comparison_bf_sqls(
     # 6. token_rel_freq_arr_hist — 34 product-threshold levels
     #    (training.py:386-455); product computed once (let-bound),
     #    bucketed by the when ladder
+    if parallel_hists:
+        th_null = "(__th_tok_l IS NULL OR __th_tok_r IS NULL)"
+        th_prod = _hist_prod_parallel_sql("__th")
+        ch_null = "(__ch_tok_l IS NULL OR __ch_tok_r IS NULL)"
+        ch_prod = _hist_prod_parallel_sql("__ch")
+    else:
+        th_null = (
+            "(token_rel_freq_arr_hist_l IS NULL "
+            "OR token_rel_freq_arr_hist_r IS NULL)"
+        )
+        th_prod = _hist_prod_sql(
+            "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r"
+        )
+        ch_null = (
+            "(common_end_tokens_hist_l IS NULL "
+            "OR common_end_tokens_hist_r IS NULL)"
+        )
+        ch_prod = _hist_prod_sql(
+            "common_end_tokens_hist_l", "common_end_tokens_hist_r"
+        )
     tok_hist = X.cascade(
         [
-            (
-                "(token_rel_freq_arr_hist_l IS NULL "
-                "OR token_rel_freq_arr_hist_r IS NULL)",
-                "1.0D",
-            ),
-            (
-                None,
-                X.let(
-                    _hist_prod_sql(
-                        "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r"
-                    ),
-                    _bucket_sql,
-                ),
-            ),
+            (th_null, "1.0D"),
+            (None, X.let(th_prod, _bucket_sql)),
         ]
     )
 
     # 7. common_end_tokens (training.py:458-486)
     cet = X.cascade(
         [
-            (
-                "(common_end_tokens_hist_l IS NULL "
-                "OR common_end_tokens_hist_r IS NULL)",
-                "1.0D",
-            ),
-            (
-                f"{_hist_prod_sql('common_end_tokens_hist_l', 'common_end_tokens_hist_r')}"
-                f" < {X.d(1e-2)}",
-                X.d(4.0),
-            ),
+            (ch_null, "1.0D"),
+            (f"{ch_prod} < {X.d(1e-2)}", X.d(4.0)),
             (None, X.d(1 / 1.5)),
         ]
     )
@@ -650,26 +690,20 @@ def score_pairs(
     # but only the ~5% surviving the threshold need display columns —
     # measured per-stage executor-CPU shows the attach/scoring stages
     # dominated by payload bytes (memory bandwidth) at high parallelism:
-    #  - token histogram: tok -> xxhash64(tok). Intersection needs token
-    #    EQUALITY only; fixed-width (long, long, double) entries halve the
-    #    bytes and make probe comparisons long-equality. Collision odds
-    #    inside one pair's ~30-token vocabulary: ~2^-59.
-    #  - common-end histogram: same packing (its BF is also
+    #  - token histogram: tok -> xxhash64(tok), then split into PARALLEL
+    #    primitive arrays (__th_tok array<bigint>, __th_cnt array<bigint>,
+    #    __th_rf array<double> on the left side only — the intersection
+    #    product never reads the right side's rel_freq). Intersection
+    #    needs token EQUALITY only (collision odds inside one pair's
+    #    ~30-token vocabulary: ~2^-59); dense primitive arrays drop the
+    #    per-entry struct headers from the exchange and let the probe
+    #    short-circuit (array_position) instead of filtering.
+    #  - common-end histogram: same encoding (__ch_*; its BF is also
     #    intersection-only). The STRING form the second pass needs is
     #    re-attached post-filter.
     #  - original_address_concat: replaced by a null-preserving xxhash64
     #    signature (__oac_sig); its BF is equality-only. Text re-attached
     #    post-filter.
-    def _pack_hist(col: Column) -> Column:
-        return F.transform(
-            col,
-            lambda e: F.struct(
-                F.xxhash64(e["tok"]).alias("tok"),
-                e["cnt"].alias("cnt"),
-                e["rel_freq"].alias("rel_freq"),
-            ),
-        )
-
     def _prod_all_sql(hist: str) -> str:
         # product over ALL of one side's histogram entries of
         # rel_freq^cnt — a LOWER bound on the pairwise intersection
@@ -683,27 +717,39 @@ def score_pairs(
             f"{a} * pow({e}.rel_freq, cast({e}.cnt as double)))"
         )
 
-    def _compact(df: DataFrame, keep: list[str]) -> DataFrame:
+    def _compact(df: DataFrame, keep: list[str], rf: bool = True) -> DataFrame:
         out = df.select(keep)
-        if "token_rel_freq_arr_hist" in out.columns:
-            out = out.withColumn(
-                "token_rel_freq_arr_hist", _pack_hist(F.col("token_rel_freq_arr_hist"))
-            )
+        for hist, pref, pa in (
+            ("token_rel_freq_arr_hist", "__th", "__hist_pa"),
+            ("common_end_tokens_hist", "__ch", "__cet_pa"),
+        ):
+            if hist not in out.columns:
+                continue
             if early_exit:
                 # per-record bound input for the two-stage kernel only —
                 # the default path must not pay 16 bytes/pair for it
                 # through the bandwidth-bound pair-attach exchange
-                out = out.withColumn(
-                    "__hist_pa", F.expr(_prod_all_sql("token_rel_freq_arr_hist"))
-                )
-        if "common_end_tokens_hist" in out.columns:
+                out = out.withColumn(pa, F.expr(_prod_all_sql(hist)))
+            # PARALLEL-ARRAY histogram encoding: dense primitive arrays
+            # (tok hashes, cnts, left-side rel_freqs) instead of an
+            # array of structs — the per-entry struct headers vanish
+            # from the pair-attach exchange, and the kernel's membership
+            # probe becomes a short-circuiting array_position over a
+            # packed long array (_hist_prod_parallel_sql). rf=False
+            # (the right/messy side): the product only ever reads the
+            # LEFT side's rel_freq, so the right side doesn't ship one.
+            e1, e2, e3 = X.gensym("e"), X.gensym("e"), X.gensym("e")
             out = out.withColumn(
-                "common_end_tokens_hist", _pack_hist(F.col("common_end_tokens_hist"))
+                f"{pref}_tok", F.expr(f"transform({hist}, {e1} -> xxhash64({e1}.tok))")
+            ).withColumn(
+                f"{pref}_cnt", F.expr(f"transform({hist}, {e2} -> {e2}.cnt)")
             )
-            if early_exit:
+            if rf:
                 out = out.withColumn(
-                    "__cet_pa", F.expr(_prod_all_sql("common_end_tokens_hist"))
+                    f"{pref}_rf",
+                    F.expr(f"transform({hist}, {e3} -> {e3}.rel_freq)"),
                 )
+            out = out.drop(hist)
         if "numeric_token_1" in out.columns:
             # digit run extracted once per record; the n1 cascade's level 3
             # compares these instead of regexp_extract-ing per pair
@@ -722,7 +768,7 @@ def score_pairs(
         return out
 
     left = _suffix(_compact(cleaned_l, keep_l), "_l")
-    right = _suffix(_compact(cleaned_r, keep_r), "_r")
+    right = _suffix(_compact(cleaned_r, keep_r, rf=False), "_r")
     # shuffle-hash: sort-merge would sort 10^6-10^9 wide (array-carrying)
     # rows per side; hashing the (small) cleaned side is strictly cheaper
     df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(
@@ -737,7 +783,9 @@ def score_pairs(
             df = df.withColumn(f"tf_numeric_token_{k}_l", F.lit(None).cast("double"))
             df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
 
-    bf_sqls = comparison_bf_sqls(oac_sig=True, precomputed_digits=True)
+    bf_sqls = comparison_bf_sqls(
+        oac_sig=True, precomputed_digits=True, parallel_hists=True
+    )
     prune_thr, top_n = prune_top_n if prune_top_n is not None else (None, None)
     thr_parts = [t for t in (threshold_match_weight, prune_thr) if t is not None]
     thr_eff = max(thr_parts) if thr_parts else None
@@ -842,17 +890,15 @@ def _two_stage_kernel(
         "__cet_known",
         F.expr(
             X.pin(
-                "CASE WHEN common_end_tokens_hist_l IS NULL "
-                "OR common_end_tokens_hist_r IS NULL THEN 1.0D "
+                "CASE WHEN __ch_tok_l IS NULL "
+                "OR __ch_tok_r IS NULL THEN 1.0D "
                 f"WHEN greatest(__cet_pa_l, __cet_pa_r) >= {X.d(1e-2)} "
                 f"THEN {X.d(1 / 1.5)} END",
                 38,
             )
         ),
     )
-    hist_null = (
-        "token_rel_freq_arr_hist_l IS NULL OR token_rel_freq_arr_hist_r IS NULL"
-    )
+    hist_null = "__th_tok_l IS NULL OR __th_tok_r IS NULL"
     hist_ub = (
         f"CASE WHEN {hist_null} THEN 1.0D ELSE "
         + X.let("greatest(__hist_pa_l, __hist_pa_r)", _bucket_sql)
@@ -954,6 +1000,12 @@ def attach_display_columns(
         "__oac_sig_l", "__oac_sig_r",
         "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r",
         "common_end_tokens_hist_l", "common_end_tokens_hist_r",
+        *[
+            f"{p}_{part}_{s}"
+            for p in ("__th", "__ch")
+            for part in ("tok", "cnt", "rf")
+            for s in ("l", "r")
+        ],
     )
 
     def _reatt(side_df: DataFrame, suffix: str, wanted: list[str]):

@@ -161,6 +161,7 @@ def comparison_bf_sqls(
     oac_sig: bool = False,
     precomputed_digits: bool = False,
     parallel_hists: bool = False,
+    precomputed_pc_parts: bool = False,
 ) -> dict[str, str]:
     """All 8 comparison BF expressions as SQL text over a suffixed pair
     row (cols *_l/*_r plus tf_numeric_token_{1,2,3}_{l,r}).
@@ -182,6 +183,19 @@ def comparison_bf_sqls(
     score_pairs._compact and _hist_prod_parallel_sql) instead of the
     array-of-struct histograms — same values, same product order,
     bit-identical BFs.
+
+    ``precomputed_pc_parts=True``: comparison 8 levels 5-6 compare the
+    per-RECORD ``__pc_area_l/_r`` / ``__pc_in_l/_r`` columns
+    (score_pairs._compact runs split_part once per record) instead of
+    split_part per PAIR. This matters far beyond expression count:
+    Spark's split_part (StringSplitSQL) routes through
+    UTF8String.split -> String.split, which COMPILES A java.util.regex
+    Pattern on every call — JFR-profiled at ~25% of the whole scoring
+    stage's CPU when the four split_part calls sat on the pair path
+    (evaluated for every pair whose postcode equality/levenshtein
+    levels miss, i.e. most of them). Values are identical by
+    construction (same split_part over the same postcode string,
+    including its ''-on-missing-part and NULL-propagation behaviour).
 
     Why strings: the Column API costs one Py4J round-trip per operator
     node; this kernel has thousands. One ``F.expr`` per comparison
@@ -328,20 +342,22 @@ def comparison_bf_sqls(
     )
 
     # 8. postcode (training.py:489-546)
+    if precomputed_pc_parts:
+        area_l, area_r = "__pc_area_l", "__pc_area_r"
+        in_l, in_r = "__pc_in_l", "__pc_in_r"
+    else:
+        area_l = "split_part(postcode_l, ' ', 1)"
+        area_r = "split_part(postcode_r, ' ', 1)"
+        in_l = "split_part(postcode_l, ' ', 2)"
+        in_r = "split_part(postcode_r, ' ', 2)"
     pc = X.cascade(
         [
             ("(postcode_l IS NULL AND postcode_r IS NULL)", "1.0D"),
             ("postcode_l = postcode_r", X.d(3e6)),
             ("levenshtein(postcode_l, postcode_r) <= 1", X.d(10000.0)),
             ("levenshtein(postcode_l, postcode_r) <= 2", X.d(5000.0)),
-            (
-                "split_part(postcode_l, ' ', 1) = split_part(postcode_r, ' ', 1)",
-                X.d(3000.0),
-            ),
-            (
-                "split_part(postcode_l, ' ', 2) = split_part(postcode_r, ' ', 2)",
-                X.d(2000.0),
-            ),
+            (f"{area_l} = {area_r}", X.d(3000.0)),
+            (f"{in_l} = {in_r}", X.d(2000.0)),
             (None, X.d(1 / 64)),
         ]
     )
@@ -757,6 +773,14 @@ def score_pairs(
                 "__nt1_dg",
                 F.expr("nullif(regexp_extract(numeric_token_1, '\\\\d+', 0), '')"),
             )
+        if "postcode" in out.columns:
+            # postcode area/incode split once per record: split_part on the
+            # pair path compiles a java.util.regex Pattern per CALL (see
+            # comparison_bf_sqls precomputed_pc_parts) — measured ~25% of
+            # scoring-stage CPU before this
+            out = out.withColumn(
+                "__pc_area", F.expr("split_part(postcode, ' ', 1)")
+            ).withColumn("__pc_in", F.expr("split_part(postcode, ' ', 2)"))
         if "original_address_concat" in out.columns:
             out = out.withColumn(
                 "__oac_sig",
@@ -784,7 +808,8 @@ def score_pairs(
             df = df.withColumn(f"tf_numeric_token_{k}_r", F.lit(None).cast("double"))
 
     bf_sqls = comparison_bf_sqls(
-        oac_sig=True, precomputed_digits=True, parallel_hists=True
+        oac_sig=True, precomputed_digits=True, parallel_hists=True,
+        precomputed_pc_parts=True,
     )
     prune_thr, top_n = prune_top_n if prune_top_n is not None else (None, None)
     thr_parts = [t for t in (threshold_match_weight, prune_thr) if t is not None]
@@ -797,12 +822,26 @@ def score_pairs(
         )
     else:
         df = _single_stage_kernel(df, bf_sqls)
-    df = df.withColumn(
-        "match_probability",
-        F.expr("pow(2.0D, match_weight) / (1.0D + pow(2.0D, match_weight))"),
-    )
+    prob_sql = "pow(2.0D, match_weight) / (1.0D + pow(2.0D, match_weight))"
+    narrow_prune = top_n is not None and not retain_bf and not attach_display
+    if not narrow_prune:
+        df = df.withColumn("match_probability", F.expr(prob_sql))
     if thr_eff is not None:
         df = df.filter(F.col("match_weight") > thr_eff)
+    if narrow_prune:
+        # NARROW the rows before the top-n window: the window's exchange
+        # + sort otherwise move/copy the full compact payload (packed
+        # histogram arrays, signatures — JFR showed UnsafeRow.copy inside
+        # the window-group-limit as ~10% of stage CPU) for rows of which
+        # only ~5% survive. Only (ids, weight) cross the exchange; the
+        # probability is recomputed from the weight after the cut (same
+        # expression — bit-identical), and every display/second-pass
+        # column is re-attached from the cleaned sides by
+        # attach_display_columns (which the linkage caller invokes after
+        # further pruning). Disabled under retain_bf (the BF columns must
+        # ride through) and attach_display (the re-attach there does not
+        # cover the matching columns).
+        df = df.select("unique_id_l", "unique_id_r", "match_weight")
     if top_n is not None:
         w = Window.partitionBy("unique_id_r").orderBy(
             F.desc("match_weight"), F.desc("unique_id_l")
@@ -812,10 +851,13 @@ def score_pairs(
             .filter(F.col("__rn_w") <= top_n)
             .drop("__rn_w")
         )
+    if narrow_prune:
+        df = df.withColumn("match_probability", F.expr(prob_sql))
     df = df.drop(
         "__w_prefix", "__bf_pc", "__cet_known", "__ub", "__lb", "__lb_elig",
         "__rn_lb", "__l5", "__hist_pa_l", "__hist_pa_r", "__cet_pa_l",
         "__cet_pa_r", "__nt1_dg_l", "__nt1_dg_r",
+        "__pc_area_l", "__pc_area_r", "__pc_in_l", "__pc_in_r",
     )
     if not retain_bf:
         df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
@@ -1020,6 +1062,20 @@ def attach_display_columns(
     if retain_matching_columns:
         want_l += ["common_end_tokens_hist", "token_rel_freq_arr_hist"]
         want_r += ["token_rel_freq_arr_hist"]
+    # rows from score_pairs's narrow prune path carry only
+    # (ids, weight, probability) — re-attach whatever the output
+    # contract needs that the rows no longer have
+    if "postcode_l" not in df.columns:
+        want_l += ["postcode"]
+    if "postcode_r" not in df.columns:
+        want_r += ["postcode"]
+    if retain_matching_columns:
+        for c in ("numeric_token_1", "numeric_token_2", "numeric_token_3",
+                  "flat_positional", "flat_letter"):
+            if f"{c}_l" not in df.columns:
+                want_l.append(c)
+            if f"{c}_r" not in df.columns:
+                want_r.append(c)
     df = df.join(
         _reatt(cleaned_l, "_l", want_l).hint("shuffle_hash"), "unique_id_l"
     ).join(_reatt(cleaned_r, "_r", want_r).hint("shuffle_hash"), "unique_id_r")

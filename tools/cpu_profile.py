@@ -119,6 +119,7 @@ def main():
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENT_DIR,
             "spark.eventLog.compress": "false",
+            **({"spark.driver.extraJavaOptions": "-XX:StartFlightRecording=duration=600s,filename=" + os.environ["CPU_PROFILE_JFR"] + ",settings=profile"} if os.environ.get("CPU_PROFILE_JFR") else {}),
         },
     )
     app_id = spark.sparkContext.applicationId

@@ -49,25 +49,36 @@ CANARY_HISTORY = os.path.join(
 CANARY_TOL = 1.3
 
 
-def _canary_refs() -> dict[str, float]:
+def _canary_refs(sf: float, cpus: int) -> dict[str, float]:
+    # references are only comparable within one (sf, cpus) configuration:
+    # a small-scale run's canaries are FASTER than the sf0.1 references,
+    # so without this filter a green sf0.001 verify run would ratchet the
+    # rolling min down and fail every future sf0.1 record
     with open(CANARY_HISTORY) as f:
         records = json.load(f)["records"]
     refs: dict[str, float] = {}
     for rec in records:
+        if rec.get("sf") != sf or rec.get("cpus") != cpus:
+            continue
         for q, v in rec.items():
-            if q == "source":
+            if q in ("source", "sf", "cpus"):
                 continue
             refs[q] = min(refs.get(q, float("inf")), float(v))
-    if not refs:
-        raise ValueError(f"{CANARY_HISTORY} has no canary records")
     return refs
 
 
-def _append_canary_record(best: dict[str, float], refs: dict[str, float]) -> None:
+def _append_canary_record(
+    best: dict[str, float], refs: dict[str, float], sf: float, cpus: int
+) -> None:
     with open(CANARY_HISTORY) as f:
         hist = json.load(f)
     hist["records"].append(
-        {"source": "bench.py green run", **{q: best[q] for q in refs}}
+        {
+            "source": "bench.py green run",
+            "sf": sf,
+            "cpus": cpus,
+            **{q: best[q] for q in refs},
+        }
     )
     tmp = CANARY_HISTORY + ".tmp"
     with open(tmp, "w") as f:
@@ -197,12 +208,44 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
                 docs.cache().count(), emb.cache().count()
         runs.append(timings)
 
+    # Flagship stability retries: the link query runs ~20x longer than any
+    # canary, so a host-noise burst can inflate BOTH link reps while the
+    # short canaries land clean between bursts (observed: link reps 261s /
+    # 47.8s with canaries green — a 5.5x rep disparity the canary gate
+    # cannot see). If the two link walls disagree by more than
+    # STABLE_RATIO, run extra link-only reps (bounded) until two agree or
+    # the budget is spent; the record carries stable_ok either way.
+    STABLE_RATIO = 1.5
+    MAX_EXTRA_LINK_REPS = 2
+
+    def _link_walls() -> list[float]:
+        return sorted(r["addr_link_2pass"] for r in runs)
+
+    extra = 0
+    while (
+        len(_link_walls()) >= 2
+        and _link_walls()[1] > _link_walls()[0] * STABLE_RATIO
+        and extra < MAX_EXTRA_LINK_REPS
+    ):
+        canon.cache().count(), messy.cache().count()
+        t0 = time.time()
+        out = link()
+        wall = round(time.time() - t0, 3)
+        n_pred_seen.add(out)
+        docs.cache().count(), emb.cache().count()
+        runs.append({"addr_link_2pass": wall})
+        extra += 1
+    walls = _link_walls()
+    meta["link_stable_ok"] = bool(len(walls) < 2 or walls[1] <= walls[0] * STABLE_RATIO)
+
     if len(n_pred_seen) != 1:
         raise AssertionError(f"addr_link_2pass nondeterministic: {n_pred_seen}")
     meta["n_predictions"] = n_pred_seen.pop()
 
-    best = {name: min(r[name] for r in runs) for name, _ in suite}
-    canary_ref = _canary_refs()
+    best = {
+        name: min(r[name] for r in runs if name in r) for name, _ in suite
+    }
+    canary_ref = _canary_refs(sf, cpus)
     canaries = {
         q: {
             "best": best[q],
@@ -211,8 +254,15 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
         }
         for q in canary_ref
     }
-    if all(c["ok"] for c in canaries.values()):
-        _append_canary_record(best, canary_ref)
+    # no history for this (sf, cpus) yet: the record can't be gated, but a
+    # run with clean inter-rep stability seeds the history for next time
+    canary_ok = all(c["ok"] for c in canaries.values()) if canary_ref else None
+    if canary_ref and canary_ok:
+        _append_canary_record(best, canary_ref, sf, cpus)
+    elif not canary_ref and meta.get("link_stable_ok"):
+        _append_canary_record(
+            best, {"knn_bruteforce": 0, "pricing_summary": 0}, sf, cpus
+        )
 
     total = round(sum(best.values()), 3)
     result = {
@@ -222,7 +272,8 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
         "queries": best,
         "runs": runs,
         "canaries": canaries,
-        "canary_ok": all(c["ok"] for c in canaries.values()),
+        "canary_ok": canary_ok,
+        "link_stable_ok": meta.get("link_stable_ok"),
         "loadavg_start": loadavg_start,
         "sf": sf,
         "cpus": cpus,

@@ -69,6 +69,17 @@ def parse_events(app_id: str) -> dict:
                 m.get("Shuffle Write Metrics", {}).get("Shuffle Bytes Written", 0)
             ) / 1e6
             st["tasks"] += 1
+            ti = e.get("Task Info") or {}
+            if ti.get("Finish Time") and ti.get("Launch Time"):
+                st["max_task_s"] = max(
+                    st.get("max_task_s", 0.0),
+                    (ti["Finish Time"] - ti["Launch Time"]) / 1e3,
+                )
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            st = stages.get(si["Stage ID"])
+            if st is not None and si.get("Completion Time") and si.get("Submission Time"):
+                st["wall_s"] = (si["Completion Time"] - si["Submission Time"]) / 1e3
         elif ev == "SparkListenerJobStart":
             job_open[e["Job ID"]] = {
                 "job": e["Job ID"],
@@ -130,7 +141,18 @@ def main():
 
     t_setup = time.time()
     side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
-    improved = link_addresses(canon, messy, side)
+    ck = None
+    ck_dir = None
+    if os.environ.get("CPU_PROFILE_CHECKPOINT", "0") == "1":
+        # mirror tools/scaling_bench.py: durable per-pass checkpoints (the
+        # north-rule configuration) — the serial/parallel split of the
+        # checkpointed pipeline differs from the cache-based one
+        from uk_address_matcher_spark.checkpoint import CheckpointManager
+
+        ck_dir = os.path.join(tempfile.gettempdir(), f"uam_prof_ck_{os.getpid()}")
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        ck = CheckpointManager(spark, ck_dir)
+    improved = link_addresses(canon, messy, side, checkpointer=ck)
     pred_path = os.path.join(tempfile.gettempdir(), f"uam_prof_{os.getpid()}.parquet")
     improved.select("unique_id_l", "unique_id_r", "match_weight").write.mode(
         "overwrite"
@@ -143,6 +165,8 @@ def main():
     wall = time.time() - t_setup
     spark.stop()
     shutil.rmtree(pred_path, ignore_errors=True)
+    if ck_dir is not None:
+        shutil.rmtree(ck_dir, ignore_errors=True)
 
     prof = parse_events(app_id)
     stages = sorted(prof["stages"].items(), key=lambda kv: -kv[1]["cpu_s"])
@@ -151,10 +175,14 @@ def main():
     print(f"\nwall={wall:.1f}s n_pred={n_pred} n_clusters={n_clusters}")
     print(f"total executor CPU {total_cpu:.1f}s across {len(stages)} stages; "
           f"driver inter-job gap total {total_gap:.1f}s over {len(prof['jobs'])} jobs\n")
-    print(f"{'cpu_s':>8} {'run_s':>8} {'rd_MB':>7} {'wr_MB':>7} {'tasks':>5}  stage")
-    for sid, s in stages[:18]:
+    print(
+        f"{'cpu_s':>8} {'run_s':>8} {'wall_s':>7} {'mx_tsk':>7} {'rd_MB':>7} "
+        f"{'wr_MB':>7} {'tasks':>5}  stage"
+    )
+    for sid, s in stages[:24]:
         print(
-            f"{s['cpu_s']:8.1f} {s['run_s']:8.1f} {s['sh_read_mb']:7.0f} "
+            f"{s['cpu_s']:8.1f} {s['run_s']:8.1f} {s.get('wall_s', 0):7.1f} "
+            f"{s.get('max_task_s', 0):7.1f} {s['sh_read_mb']:7.0f} "
             f"{s['sh_write_mb']:7.0f} {s['tasks']:5d}  [{sid}] {s['name']}"
         )
     big_gaps = sorted(prof["gaps"], key=lambda g: -g["gap_s"])[:10]

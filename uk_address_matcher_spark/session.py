@@ -66,6 +66,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # This pipeline's pair-scale exchanges are CPU-dense but
+        # byte-light (compact signature rows fan out into histogram/map
+        # algebra downstream), so AQE's byte-targeted coalescing packs
+        # ~50 CPU-core-seconds into one post-shuffle partition: at 1M
+        # docs / 16 cores the two second-pass stages were coalesced to
+        # 22-24 partitions of ~48 CPU-s each — 1.5 ragged task waves
+        # with the last wave mostly idle (event-log profile, round 5).
+        # A 16 MB advisory target keeps partition counts high enough
+        # for >=2-4 tasks/core at every level we run; tiny shuffles
+        # still coalesce (minPartitionSize default 1 MB), and the knob
+        # only shapes AQE shuffle reads, not file scans.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
         # stays at its default (false). Enabling it lets AQE coalesce
         # cached builds by BYTES, which collapsed the second pass's

@@ -125,7 +125,9 @@ def main():
     spark = get_spark(
         app_name="uam_cpu_profile",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=int(
+            os.environ.get("CPU_PROFILE_SHUFFLE", max(2 * cpus, 8))
+        ),
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENT_DIR,

@@ -35,6 +35,7 @@ def parse_events(app_id: str) -> dict:
         os.path.join(EVENT_DIR, f"*{app_id}*")
     )
     stages: dict[int, dict] = {}
+    stage_desc: dict[int, str] = {}
     jobs: list[dict] = []
     job_open: dict[int, dict] = {}
     for line in open(paths[0]):
@@ -81,13 +82,14 @@ def parse_events(app_id: str) -> dict:
             if st is not None and si.get("Completion Time") and si.get("Submission Time"):
                 st["wall_s"] = (si["Completion Time"] - si["Submission Time"]) / 1e3
         elif ev == "SparkListenerJobStart":
+            desc = (e.get("Properties") or {}).get("spark.job.description", "")[:60]
             job_open[e["Job ID"]] = {
                 "job": e["Job ID"],
                 "t0": e["Submission Time"],
-                "desc": (e.get("Properties") or {}).get(
-                    "spark.job.description", ""
-                )[:60],
+                "desc": desc,
             }
+            for sid in e.get("Stage IDs", []):
+                stage_desc[sid] = desc
         elif ev == "SparkListenerJobEnd":
             j = job_open.pop(e["Job ID"], None)
             if j is not None:
@@ -104,6 +106,9 @@ def parse_events(app_id: str) -> dict:
                 "gap_s": round((b["t0"] - a["t1"]) / 1e3, 2),
             }
         )
+    for sid, st in stages.items():
+        if stage_desc.get(sid):
+            st["name"] = stage_desc[sid]
     return {"stages": stages, "jobs": jobs, "gaps": gaps}
 
 
@@ -167,7 +172,14 @@ def main():
     wall = time.time() - t_setup
     spark.stop()
     shutil.rmtree(pred_path, ignore_errors=True)
+    pass_walls = {}
     if ck_dir is not None:
+        try:
+            with open(os.path.join(ck_dir, "_manifest.json")) as f:
+                for nm, entry in json.load(f)["passes"].items():
+                    pass_walls[nm] = entry.get("wall_seconds")
+        except OSError:
+            pass
         shutil.rmtree(ck_dir, ignore_errors=True)
 
     prof = parse_events(app_id)
@@ -175,6 +187,8 @@ def main():
     total_cpu = sum(s["cpu_s"] for _, s in stages)
     total_gap = sum(g["gap_s"] for g in prof["gaps"])
     print(f"\nwall={wall:.1f}s n_pred={n_pred} n_clusters={n_clusters}")
+    if pass_walls:
+        print("pass walls:", json.dumps(pass_walls))
     print(f"total executor CPU {total_cpu:.1f}s across {len(stages)} stages; "
           f"driver inter-job gap total {total_gap:.1f}s over {len(prof['jobs'])} jobs\n")
     print(
@@ -193,6 +207,7 @@ def main():
         print(f"  {g['gap_s']:6.2f}s between job {g['after_job']} -> {g['before_job']}")
     out = {
         "wall_s": round(wall, 1),
+        "pass_walls": pass_walls,
         "n_predictions": n_pred,
         "total_cpu_s": round(total_cpu, 1),
         "driver_gap_s": round(total_gap, 1),

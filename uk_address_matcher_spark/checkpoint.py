@@ -105,10 +105,17 @@ class CheckpointManager:
         if self.resume and self.has(name):
             return self.read(name)
         t0 = time.time()
-        if self.table_format == "iceberg":
-            df.writeTo(self.table_prefix + name).createOrReplace()
-        else:
-            df.write.mode("overwrite").parquet(self._path(name))
+        # label the materialisation's jobs with the pass name so event-log
+        # profiles (tools/cpu_profile.py) attribute stages to passes
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"pass:{name}")
+        try:
+            if self.table_format == "iceberg":
+                df.writeTo(self.table_prefix + name).createOrReplace()
+            else:
+                df.write.mode("overwrite").parquet(self._path(name))
+        finally:
+            sc.setJobDescription(None)
         out = self.read(name)
         entry: dict = {
             "path": self._path(name),

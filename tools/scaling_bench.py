@@ -20,6 +20,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _host_stat() -> dict:
+    """Whole-box CPU counters (jiffies): busy = guest actually executing,
+    steal = runnable but descheduled by the hypervisor. Round-5 lesson:
+    this box shows bimodal interference (same job, same config: 226 s vs
+    641 s minutes apart) that is INVISIBLE to loadavg, PSI, GC logs and
+    iowait — only the busy/steal deltas over the timed window separate
+    'the plan is slow' from 'the box was degraded'."""
+    f = open("/proc/stat").readline().split()
+    u, nn, s, i, io, irq, sirq, st = (int(x) for x in f[1:9])
+    return {"busy": u + nn + s + irq + sirq, "idle": i + io, "steal": st}
+
+
 def run_level(cpus: int, n: int) -> dict:
     from uk_address_matcher_spark.clustering import cluster_predictions
     from uk_address_matcher_spark.corpus import (
@@ -35,7 +47,7 @@ def run_level(cpus: int, n: int) -> dict:
     spark = get_spark(
         app_name=f"uam_scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=64,
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE", "64")),
     )
     # SCALING_STREET_MODEL=global reruns the pre-round-5 generator whose
     # hottest street grows ~n^0.6 (superlinear pairs/doc) — kept for the
@@ -60,6 +72,7 @@ def run_level(cpus: int, n: int) -> dict:
 
     ck_dir = os.path.join(_tf.gettempdir(), f"uam_scale_ck_{cpus}_{os.getpid()}")
     shutil.rmtree(ck_dir, ignore_errors=True)
+    h0 = _host_stat()
     t0 = time.time()
     side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
     ck = CheckpointManager(spark, ck_dir)
@@ -70,6 +83,7 @@ def run_level(cpus: int, n: int) -> dict:
     clusters = cluster_predictions(slim, threshold_match_weight=5.0, checkpointer=ck)
     n_clusters = clusters.count()
     elapsed = time.time() - t0
+    h1 = _host_stat()
     # carry the per-pass wall breakdown into the record: single-box noise
     # makes totals jumpy, and a record that cannot say WHICH pass moved
     # is unfalsifiable (round-3 lesson)
@@ -92,6 +106,13 @@ def run_level(cpus: int, n: int) -> dict:
         "n_predictions": n_pred,
         "n_cluster_rows": n_clusters,
         "pass_walls": pass_walls,
+        # interference evidence for THIS phase's timed window (jiffies/100
+        # = cpu-seconds): healthy 16-core runs of this job burn ~3.5k
+        # busy cpu-s; degraded-host windows burn 2-4x that for identical
+        # output, or show large steal. A paired efficiency number without
+        # these fields is not evidence (round-5 lesson).
+        "host_busy_cpu_s": round((h1["busy"] - h0["busy"]) / 100.0, 1),
+        "host_steal_cpu_s": round((h1["steal"] - h0["steal"]) / 100.0, 1),
     }
 
 
@@ -150,8 +171,17 @@ def run_kernel(cpus: int, n: int) -> dict:
 
 
 def main():
-    # before the first JVM launch (driver memory is fixed for the process)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # before the first JVM launch (driver memory is fixed for the process).
+    # 24g, not the box max: a round-5 A/B series at 16 cores / 1M docs
+    # measured 24g and 48g heaps as equivalent when the host was healthy
+    # (226.7 s vs 256.3 s) — heap size above 24g buys nothing here, and
+    # <=31g keeps compressed oops. The same series exposed bimodal HOST
+    # interference (identical runs at 226 s and 641 s minutes apart, busy
+    # cores sawing 2..16 with 16 runnable tasks and no PSI/GC/IO
+    # signature), which is why run_level now records /proc/stat busy and
+    # steal deltas per phase: a scaling record is only evidence when its
+    # phases are interference-clean. See BENCH/BASELINE.md round-5.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_N", "150000"))
     lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32

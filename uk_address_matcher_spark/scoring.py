@@ -26,6 +26,7 @@ when the value is absent. (training.py:176-178, 242-244, 293-295, 302-304)
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -117,6 +118,21 @@ def _hist_prod_parallel_sql(prefix: str) -> str:
     per-entry struct headers disappear from the pair-attach exchange.
     Multiplication order is the left entry order either way, so the
     emitted double is bit-identical.
+
+    MEASURED NEGATIVE RESULT (round 5), recorded so it is not retried:
+    lambda HOFs are CodegenFallback, so this expression keeps the whole
+    kernel projection OFF whole-stage codegen — we built an unrolled,
+    HOF-free twin (fixed-depth product over try_element_at /
+    array_position, probe-sized to the corpus max histogram length,
+    bit-identical outputs) that put the kernel back INSIDE codegen
+    ("* Project" in the plan). It was ~2x MORE executor CPU, not less:
+    interleaved kernel A/B at 250k docs / 16 cores, 19.8M pairs —
+    HOF 24.3s/704 busy-cpu-s vs unrolled 65.3s/1342 (and 42.9s/1014
+    with spark.sql.codegen.hugeMethodLimit=8000, i.e. part of the loss
+    is giant generated consume() methods HotSpot refuses to JIT; the
+    rest is the unroll evaluating every padded slot where the fold
+    walks only the real entries). Catalyst's interpreted fold over
+    packed primitive arrays is simply the faster shape here.
     """
     tl, cl_, rl = f"{prefix}_tok_l", f"{prefix}_cnt_l", f"{prefix}_rf_l"
     tr, cr_ = f"{prefix}_tok_r", f"{prefix}_cnt_r"
@@ -589,6 +605,23 @@ def _suffix(df: DataFrame, suffix: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
 
 
+def _sides_broadcastable(cleaned_l: DataFrame, cleaned_r: DataFrame) -> bool:
+    """Size gate for broadcasting the side tables into pair-attach joins.
+
+    Two count jobs over the n-record sides (the linkage caller's durable
+    cleaning barrier makes these cheap parquet counts) buy the removal of
+    an n_pairs-row exchange — at 1M docs that trade is ~2 narrow scans vs
+    5.1 GB of intermediate shuffle. The cap is rows, not bytes: a compact
+    side row is ~250 B (packed histogram arrays + short strings), so the
+    default 2M rows is ~500 MB per broadcast table — sized for >=4 GB
+    executors; lower/raise SPARK_GRAFT_BROADCAST_SIDES_ROWS per
+    deployment, 0 disables."""
+    cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_SIDES_ROWS", "2000000"))
+    if cap <= 0:
+        return False
+    return cleaned_l.count() <= cap and cleaned_r.count() <= cap
+
+
 def attach_numeric_tf(df: DataFrame, numeric_tf: DataFrame, suffix: str) -> DataFrame:
     """Broadcast-join tf_numeric_token_k for k=1..3 on one side's columns."""
     for k in (1, 2, 3):
@@ -793,11 +826,29 @@ def score_pairs(
 
     left = _suffix(_compact(cleaned_l, keep_l), "_l")
     right = _suffix(_compact(cleaned_r, keep_r, rf=False), "_r")
-    # shuffle-hash: sort-merge would sort 10^6-10^9 wide (array-carrying)
-    # rows per side; hashing the (small) cleaned side is strictly cheaper
-    df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(
-        right.hint("shuffle_hash"), "unique_id_r"
-    )
+    bcast_sides = _sides_broadcastable(cleaned_l, cleaned_r)
+    if bcast_sides:
+        # BROADCAST the compact sides: the two-key attach otherwise
+        # re-exchanges the (pairs x left-signature) INTERMEDIATE — n_pairs
+        # wide rows — to co-locate on unique_id_r (measured 5.1 GB of
+        # shuffle read feeding pass-1 at 1M docs / 43M pairs; the write,
+        # lz4 both ways and UnsafeRow serde of that intermediate is pure
+        # overhead). With both sides broadcast the scan->attach->kernel->
+        # threshold-filter pipeline is ONE map-side stage and the 43M-row
+        # intermediate never exists off-CPU-cache. Size-gated (env
+        # SPARK_GRAFT_BROADCAST_SIDES_ROWS): at cluster scale with
+        # billions of side rows the gate fails and the shuffle-hash plan
+        # below remains the 100-TB path.
+        df = pairs.join(F.broadcast(left), "unique_id_l").join(
+            F.broadcast(right), "unique_id_r"
+        )
+    else:
+        # shuffle-hash: sort-merge would sort 10^6-10^9 wide
+        # (array-carrying) rows per side; hashing the (small) cleaned
+        # side is strictly cheaper
+        df = pairs.join(left.hint("shuffle_hash"), "unique_id_l").join(
+            right.hint("shuffle_hash"), "unique_id_r"
+        )
 
     if numeric_tf is not None:
         df = attach_numeric_tf(df, numeric_tf, "_l")
@@ -862,7 +913,10 @@ def score_pairs(
     if not retain_bf:
         df = df.drop(*[c for c in df.columns if c.startswith("bf_") or c.startswith("tf_numeric")])
     if attach_display:
-        df = attach_display_columns(df, cleaned_l, cleaned_r, retain_matching_columns)
+        df = attach_display_columns(
+            df, cleaned_l, cleaned_r, retain_matching_columns,
+            broadcast_sides=bcast_sides,
+        )
     return df
 
 
@@ -1031,13 +1085,20 @@ def attach_display_columns(
     cleaned_l: DataFrame,
     cleaned_r: DataFrame,
     retain_matching_columns: bool = True,
+    broadcast_sides: bool | None = None,
 ) -> DataFrame:
     """Re-attach the text/histogram columns the compact scored rows shed
     (see score_pairs._compact): two narrow joins against the cleaned
     tables. Call AFTER any filtering/pruning — at the linkage defaults,
     the rescoring candidates are ~5% of the scored pairs, so attaching
     late moves a fraction of the bytes that carrying display strings
-    through the pair exchanges would."""
+    through the pair exchanges would.
+
+    ``broadcast_sides``: None probes the same size gate as score_pairs
+    (_sides_broadcastable); pass the already-computed decision to skip
+    the two count jobs."""
+    if broadcast_sides is None:
+        broadcast_sides = _sides_broadcastable(cleaned_l, cleaned_r)
     df = df.drop(
         "__oac_sig_l", "__oac_sig_r",
         "token_rel_freq_arr_hist_l", "token_rel_freq_arr_hist_r",
@@ -1076,9 +1137,14 @@ def attach_display_columns(
                 want_l.append(c)
             if f"{c}_r" not in df.columns:
                 want_r.append(c)
-    df = df.join(
-        _reatt(cleaned_l, "_l", want_l).hint("shuffle_hash"), "unique_id_l"
-    ).join(_reatt(cleaned_r, "_r", want_r).hint("shuffle_hash"), "unique_id_r")
+    if broadcast_sides:
+        df = df.join(
+            F.broadcast(_reatt(cleaned_l, "_l", want_l)), "unique_id_l"
+        ).join(F.broadcast(_reatt(cleaned_r, "_r", want_r)), "unique_id_r")
+    else:
+        df = df.join(
+            _reatt(cleaned_l, "_l", want_l).hint("shuffle_hash"), "unique_id_l"
+        ).join(_reatt(cleaned_r, "_r", want_r).hint("shuffle_hash"), "unique_id_r")
 
     if not retain_matching_columns:
         keep = {

@@ -30,9 +30,11 @@ from pyspark.sql import functions as F
 # Bumped whenever a pass's stored SCHEMA or SEMANTICS change (v2: pass-1
 # artifact renamed predictions_pass1 -> pass1_candidates when it became
 # the pruned candidate set, and histograms moved from map to array
-# encoding). Resume across versions is refused: silently feeding an old
-# manifest's artifacts into new code produces wrong results, not errors.
-FORMAT_VERSION = 2
+# encoding; v3: predictions_pass2 dropped the block-level histogram map
+# columns to match the reference's final table). Resume across versions
+# is refused: silently feeding an old manifest's artifacts into new code
+# produces wrong results, not errors.
+FORMAT_VERSION = 3
 
 
 class CheckpointManager:

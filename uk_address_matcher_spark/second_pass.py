@@ -361,5 +361,18 @@ def improve_predictions_using_distinguishing_tokens(
         .withColumn(
             "match_weight", F.col("match_weight_original") + F.col("mw_adjustment")
         )
-        .drop("tokens_l", "tokens_r", "bigrams_l", "bigrams_r", "tokens_r_not_in_l", "bigrams_r_not_in_l")
+        # output column set matches the reference's final `matches` table
+        # (identify_distinguishing_tokens.py:376-441): the block-level
+        # histogram maps are INTERMEDIATES there too — and they are the
+        # widest columns in the frame (every block's full token/bigram
+        # multiset duplicated onto each of its ~top_n candidate rows), so
+        # carrying them into the durable pass artifact multiplied the
+        # checkpoint encode and the memory traffic of the whole pass
+        .drop(
+            "tokens_l", "tokens_r", "bigrams_l", "bigrams_r",
+            "tokens_r_not_in_l", "bigrams_r_not_in_l",
+            "hist_all_tokens_in_block_l", "hist_all_bigrams_in_block_l",
+            "hist_overlapping_tokens_r_block_l",
+            "hist_overlapping_bigrams_r_block_l",
+        )
     )

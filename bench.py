@@ -141,11 +141,11 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
     emb.count()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    def link():
+    def _link_frames(canon_f, messy_f):
         side = build_side_tables(
-            spark, canon, rel_tok_freq=domain_token_frequencies(spark)
+            spark, canon_f, rel_tok_freq=domain_token_frequencies(spark)
         )
-        improved = link_addresses(canon, messy, side)
+        improved = link_addresses(canon_f, messy_f, side)
         # the production pass boundary: persist the NARROW prediction
         # projection (ids + weight) to parquet and free the pipeline's
         # in-memory caches before clustering. Clustering then reads a
@@ -167,6 +167,9 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
         clusters = cluster_predictions(slim, threshold_match_weight=5.0)
         meta["n_cluster_rows"] = clusters.count()
         return n_pred
+
+    def link():
+        return _link_frames(canon, messy)
 
     suite = [
         ("addr_link_2pass", link),
@@ -264,6 +267,55 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
             best, {"knn_bruteforce": 0, "pricing_summary": 0}, sf, cpus
         )
 
+    # Ref-scale flagship: the reference's 15,008 addr/s baseline
+    # (BASELINE.md) was measured over 450,472 addresses (176,640 messy +
+    # 273,832 canonical), not the sf0.1 corpus's 100k docs — at 100k this
+    # engine's wall is dominated by per-job constants (driver barriers,
+    # broadcast builds, stage scheduling) that are FIXED, not
+    # data-proportional, so docs/s at sf0.1 understates throughput at the
+    # baseline's own scale. Run the identical link+cluster job once more
+    # on a corpus sized to the reference's row count (225k canonical +
+    # 225k messy = 450k docs) and record docs/s there too — the
+    # same-data-scale comparator. min-of-2 with the same stability rule.
+    refscale = None
+    sf_cluster_rows = meta.get("n_cluster_rows")
+    if sf >= 0.1 and os.environ.get("SPARK_GRAFT_REFSCALE", "1") != "0":
+        # override for smoke tests only; the recorded figure uses the
+        # reference-matched default
+        n_ref = int(os.environ.get("SPARK_GRAFT_REFSCALE_N", "225000"))
+        docs.unpersist(), emb.unpersist()
+        canon.unpersist(), messy.unpersist()
+        rc_docs, rm_docs, _ = grid_documents(spark, n_ref, dup_factor=1)
+        rcanon = extract_addresses(rc_docs).cache()
+        rmessy = extract_addresses(rm_docs).cache()
+        rcanon.count(), rmessy.count()
+        ref_walls: list[float] = []
+        ref_preds = set()
+        for _ in range(2):
+            t0 = time.time()
+            ref_preds.add(_link_frames(rcanon, rmessy))
+            ref_walls.append(round(time.time() - t0, 3))
+            rcanon.cache().count(), rmessy.cache().count()
+        ref_walls.sort()
+        if ref_walls[1] > ref_walls[0] * STABLE_RATIO:
+            t0 = time.time()
+            ref_preds.add(_link_frames(rcanon, rmessy))
+            ref_walls.append(round(time.time() - t0, 3))
+            ref_walls.sort()
+        if len(ref_preds) != 1:
+            raise AssertionError(f"refscale link nondeterministic: {ref_preds}")
+        refscale = {
+            "corpus_docs": 2 * n_ref,
+            "link_wall_best": ref_walls[0],
+            "link_docs_per_sec": round(2 * n_ref / ref_walls[0], 1),
+            "runs": ref_walls,
+            "n_predictions": ref_preds.pop(),
+            "n_cluster_rows": meta.get("n_cluster_rows"),
+            "stable_ok": ref_walls[1] <= ref_walls[0] * STABLE_RATIO
+            if len(ref_walls) >= 2
+            else True,
+        }
+
     total = round(sum(best.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
@@ -280,8 +332,10 @@ def run_bench(sf_dir: str, cpus: int, corpus_n: int | None = None, reps: int = 2
         "corpus_docs": 2 * n,
         "link_docs_per_sec": round(2 * n / best["addr_link_2pass"], 1),
         "n_predictions": meta.get("n_predictions"),
-        "n_cluster_rows": meta.get("n_cluster_rows"),
+        "n_cluster_rows": sf_cluster_rows,
     }
+    if refscale is not None:
+        result["refscale"] = refscale
     spark.stop()
     return result
 

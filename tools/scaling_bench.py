@@ -61,6 +61,38 @@ def run_level(cpus: int, n: int) -> dict:
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()  # corpus generation outside the timer
 
+    # JIT WARMUP outside the timer: each phase is this JVM's first-ever
+    # execution of the pipeline's large codegen kernels, and the two
+    # phases run in separate processes — without a warmup the FIRST level
+    # measured absorbs the one-time Janino/C2 compile wall (~11 s at 16
+    # cores, more at 4) and the comparison is cold-vs-cold at best,
+    # cold-vs-warm if a phase reuses a JVM. A real cluster job's
+    # executors amortise compile over hours; a 5k-doc end-to-end linkage
+    # (same code path, same kernels) compiles everything in a few seconds
+    # and makes both timed windows warm-JVM. SCALING_WARMUP=0 disables
+    # (for measuring the cold constant itself).
+    if os.environ.get("SCALING_WARMUP", "1") != "0":
+        import shutil as _sh
+        import tempfile as _wtf
+
+        from uk_address_matcher_spark.checkpoint import CheckpointManager as _CM
+
+        w_ck_dir = _wtf.mkdtemp(prefix="uam_scale_warm_")
+        wc_docs, wm_docs, _ = grid_documents(spark, 5000, dup_factor=1)
+        w_canon = extract_addresses(wc_docs).cache()
+        w_messy = extract_addresses(wm_docs).cache()
+        w_side = build_side_tables(
+            spark, w_canon, rel_tok_freq=domain_token_frequencies(spark)
+        )
+        w_pred = link_addresses(
+            w_canon, w_messy, w_side, checkpointer=_CM(spark, w_ck_dir)
+        ).select("unique_id_l", "unique_id_r", "match_weight")
+        cluster_predictions(w_pred, threshold_match_weight=5.0).count()
+        w_canon.unpersist(), w_messy.unpersist()
+        spark.catalog.clearCache()
+        _sh.rmtree(w_ck_dir, ignore_errors=True)
+        canon.cache().count(), messy.cache().count()
+
     # north-rule configuration: every pass checkpointed durably (resume +
     # per-partition lineage); at this corpus size it is also what keeps the
     # job healthy — in-memory caches of the wide pair frames spill tens of
@@ -70,7 +102,17 @@ def run_level(cpus: int, n: int) -> dict:
 
     from uk_address_matcher_spark.checkpoint import CheckpointManager
 
-    ck_dir = os.path.join(_tf.gettempdir(), f"uam_scale_ck_{cpus}_{os.getpid()}")
+    # Checkpoint store: the durable per-pass writes go to a distributed
+    # store (HDFS/S3/Iceberg) on a real cluster, whose aggregate bandwidth
+    # grows with executor count — locally the root disk's fixed ~280 MB/s
+    # is a NON-scaling stand-in that charges a constant seconds-per-pass
+    # to both parallelism levels (flattering neither: it deflates the
+    # ratio). SCALING_CK_BASE=/dev/shm uses tmpfs as the
+    # bandwidth-scales-with-the-job proxy (same argument as the tmpfs
+    # shuffle dirs, session.py); default stays the disk tmpdir so both
+    # configurations remain measurable.
+    ck_base = os.environ.get("SCALING_CK_BASE", _tf.gettempdir())
+    ck_dir = os.path.join(ck_base, f"uam_scale_ck_{cpus}_{os.getpid()}")
     shutil.rmtree(ck_dir, ignore_errors=True)
     h0 = _host_stat()
     t0 = time.time()

@@ -117,14 +117,27 @@ def run_level(cpus: int, n: int) -> dict:
     h0 = _host_stat()
     t0 = time.time()
     side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
+    t_side = time.time()
     ck = CheckpointManager(spark, ck_dir)
     improved = link_addresses(canon, messy, side, checkpointer=ck)
     slim = improved.select("unique_id_l", "unique_id_r", "match_weight")
     spark.catalog.clearCache()
     n_pred = slim.count()
+    t_link = time.time()
     clusters = cluster_predictions(slim, threshold_match_weight=5.0, checkpointer=ck)
     n_clusters = clusters.count()
     elapsed = time.time() - t0
+    # coarse phase attribution: pass_walls (from the checkpoint manifest)
+    # cover the checkpointed passes, but NOT the side-table build, plan
+    # construction/AQE, the pass-2 count, or the clustering jobs — at 16
+    # cores those summed to ~20 s of un-attributed wall in earlier
+    # records, and un-attributed time is exactly where a fixed driver
+    # constant (which caps paired efficiency) could hide
+    phase_walls = {
+        "side_tables": round(t_side - t0, 1),
+        "link": round(t_link - t_side, 1),
+        "cluster": round(time.time() - t_link, 1),
+    }
     h1 = _host_stat()
     # carry the per-pass wall breakdown into the record: single-box noise
     # makes totals jumpy, and a record that cannot say WHICH pass moved
@@ -148,6 +161,7 @@ def run_level(cpus: int, n: int) -> dict:
         "n_predictions": n_pred,
         "n_cluster_rows": n_clusters,
         "pass_walls": pass_walls,
+        "phase_walls": phase_walls,
         # interference evidence for THIS phase's timed window (jiffies/100
         # = cpu-seconds): healthy 16-core runs of this job burn ~3.5k
         # busy cpu-s; degraded-host windows burn 2-4x that for identical

@@ -81,6 +81,22 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
         )
+        # FILE-scan splits get the same treatment as AQE shuffle reads
+        # (and for the same reason): the durable pass artifacts are
+        # CPU-dense per byte — the pass-1 scoring stage reads the 552 MB
+        # blocked-pairs checkpoint and burns ~774 executor-CPU-s on it
+        # (~1.9 CPU-s/MB; event-log profile, 1M docs / 16 cores). At the
+        # 128 MB default that stage split into 16 tasks — ONE wave at 16
+        # cores, so its wall was its slowest task (56.8 s vs a 48.4 s
+        # balanced floor). 16 MB keeps scans at >=3 tasks/core at every
+        # level run here. On a multi-thousand-core cluster reading
+        # 100 TB, raise SPARK_GRAFT_MAX_PARTITION_BYTES back toward
+        # 128m: scan-task count stops being the binding constraint long
+        # before scheduler pressure does.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
         # stays at its default (false). Enabling it lets AQE coalesce
         # cached builds by BYTES, which collapsed the second pass's

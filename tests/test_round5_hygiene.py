@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from uk_address_matcher_spark import session as sess
 from uk_address_matcher_spark.blocking import block, block_on
-from uk_address_matcher_spark.checkpoint import CheckpointManager
+from uk_address_matcher_spark.checkpoint import FORMAT_VERSION, CheckpointManager
 from uk_address_matcher_spark.scoring import comparison_bf_sqls
 from uk_address_matcher_spark.sources import sample_addresses
 
@@ -35,7 +35,7 @@ def test_manifest_reset_on_rebuild(spark, tmp_path):
         stored = json.load(f)
     # the stale v1 entry is gone, only the rebuilt pass remains
     assert set(stored["passes"]) == {"fresh_pass"}
-    assert stored["format_version"] == 2
+    assert stored["format_version"] == FORMAT_VERSION
 
 
 def test_sample_addresses_skips_map_columns(spark):

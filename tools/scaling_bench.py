@@ -155,6 +155,11 @@ def run_level(cpus: int, n: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        # self-describing configuration (ADVICE r5): a committed sample
+        # must say whether it was JIT-warmed and where checkpoints went
+        "warmup": os.environ.get("SCALING_WARMUP", "1") != "0",
+        "ck_base": ck_base,
+        "street_model": street_model,
         "seconds": round(elapsed, 1),
         "docs": 2 * n,
         "docs_per_sec": round(2 * n / elapsed, 1),

@@ -258,9 +258,19 @@ def link_cleaned(
         PRUNE_TOP_N,
     )
 
+    # NO durable checkpoint of the raw blocked pairs: the ~43M-row (at 1M
+    # docs) id-pair artifact was parquet-encode/write-bandwidth bound and
+    # showed ZERO scaling (49.3 s @ 4c vs 51.1 s @ 16c, ~32% of the clean
+    # 16-core wall — BENCH/scale_4v16_final.json), and pass-1 re-read it
+    # immediately. Blocking is consumed exactly once (the score_pairs
+    # attach joins), so it now fuses straight into the pass-1 scoring
+    # stage; the durable resume boundary is the COMPACT pass-1 candidate
+    # set below (post-threshold, ~5% of the pair volume — a boundary that
+    # shrinks rather than grows with corpus junk). A kill mid-pass-1
+    # resumes from cleaned_all instead of raw pairs: re-running blocking
+    # costs one narrow shuffle, orders of magnitude less than the encode
+    # wave the checkpoint charged every run.
     pairs = block(cl, cr, rules=rules, salt=salt)
-    if checkpointer is not None:
-        pairs = checkpointer.checkpoint(pairs, "blocked_pairs")
     # score in COMPACT form (no display strings through the pair
     # exchanges); when the second pass follows, the prune to exactly its
     # candidate set (threshold -20 + top-5 per messy record) is FUSED

@@ -93,9 +93,17 @@ def get_spark(
         # 100 TB, raise SPARK_GRAFT_MAX_PARTITION_BYTES back toward
         # 128m: scan-task count stops being the binding constraint long
         # before scheduler pressure does.
+        # The 16m default applies ONLY to local[*] masters, where the
+        # single-wave scan problem was measured (<=32 cores); on a real
+        # cluster the library keeps Spark's 128m — a multi-thousand-core
+        # deployment reading 100 TB would otherwise multiply its scan-task
+        # count ~8x. SPARK_GRAFT_MAX_PARTITION_BYTES overrides either way.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                "16m" if master.startswith("local") else "128m",
+            ),
         )
         # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
         # stays at its default (false). Enabling it lets AQE coalesce
@@ -104,6 +112,18 @@ def get_spark(
         # algebra) to 13 partitions — a 2x wall regression. Small cached
         # frames size their own partitioning explicitly instead
         # (clustering.py loop_parts).
+        # Unordered limit-collects (side-table guard collects, the
+        # clustering conflict/disjointness collects) run through
+        # executeTake, which by default probes 1 shuffle partition, then
+        # 4x more per round — every round a sequential JOB with its own
+        # scheduling latency. All such collects here either must scan
+        # every partition anyway (the limit is an OOM guard above the
+        # true row count, or the expected result is empty) or are
+        # bounded diagnostics, so probing all partitions in ONE job
+        # strictly reduces driver round-trips (measured: the clustering
+        # fast path's two collects were 3-4 jobs each at sf0.1).
+        # ORDER BY ... LIMIT paths (TakeOrderedAndProject) are unaffected.
+        .config("spark.sql.limit.initialNumPartitions", "1000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # deterministic, locale-independent string comparison

@@ -43,8 +43,19 @@ L.score_pairs = functools.partial(S.score_pairs, early_exit=(variant == "bnb"))
 spark = get_spark(app_name=f"uam_ab_{variant}", master=f"local[{cpus}]",
                   shuffle_partitions=max(2 * cpus, 8))
 canon_docs, messy_docs, _ = grid_documents(spark, n_canon, dup_factor=1)
-canon = extract_addresses(canon_docs).cache()
-messy = extract_addresses(messy_docs).cache()
+canon = extract_addresses(canon_docs)
+messy = extract_addresses(messy_docs)
+if os.environ.get("AB_SKEW", "0") == "1":
+    # junk-heavy corpus variant for the B&B activation question: remap a
+    # large row share into few postcodes so rule 18 (bare postcode)
+    # floods the candidate set with cross-street junk pairs
+    from uk_address_matcher_spark.corpus import skew_postcodes
+    n_hot = int(os.environ.get("AB_SKEW_NHOT", "50"))
+    share = float(os.environ.get("AB_SKEW_SHARE", "0.5"))
+    canon = skew_postcodes(canon, n_hot=n_hot, hot_share=share)
+    messy = skew_postcodes(messy, n_hot=n_hot, hot_share=share)
+canon = canon.cache()
+messy = messy.cache()
 canon.count(), messy.count()
 
 t0 = time.time()

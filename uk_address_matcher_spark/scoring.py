@@ -622,6 +622,97 @@ def _sides_broadcastable(cleaned_l: DataFrame, cleaned_r: DataFrame) -> bool:
     return cleaned_l.count() <= cap and cleaned_r.count() <= cap
 
 
+def _prod_all_sql(hist: str) -> str:
+    # product over ALL of one side's histogram entries of
+    # rel_freq^cnt — a LOWER bound on the pairwise intersection
+    # product (intersection ⊆ side, min(cnt_l,cnt_r) <= cnt_side,
+    # every factor <= 1), hence bucketed it upper-bounds the
+    # histogram BF per pair WITHOUT touching the per-pair product.
+    # Computed once per RECORD here (n rows), not per pair.
+    a, e = X.gensym("a"), X.gensym("e")
+    return (
+        f"aggregate({hist}, 1.0D, ({a}, {e}) -> "
+        f"{a} * pow({e}.rel_freq, cast({e}.cnt as double)))"
+    )
+
+
+def _compact(
+    df: DataFrame, keep: list[str], rf: bool = True, with_bounds: bool = False
+) -> DataFrame:
+    """COMPACT one side's pair-shuffle payload. Every candidate pair (23M
+    at 250k docs) carries both sides' comparison inputs through two
+    exchanges, but only the ~5% surviving the threshold need display
+    columns — measured per-stage executor-CPU shows the attach/scoring
+    stages dominated by payload bytes (memory bandwidth) at high
+    parallelism:
+     - token histogram: tok -> xxhash64(tok), then split into PARALLEL
+       primitive arrays (__th_tok array<bigint>, __th_cnt array<bigint>,
+       __th_rf array<double> on the left side only — the intersection
+       product never reads the right side's rel_freq). Intersection
+       needs token EQUALITY only (collision odds inside one pair's
+       ~30-token vocabulary: ~2^-59); dense primitive arrays drop the
+       per-entry struct headers from the exchange and let the probe
+       short-circuit (array_position) instead of filtering.
+     - common-end histogram: same encoding (__ch_*; its BF is also
+       intersection-only). The STRING form the second pass needs is
+       re-attached post-filter.
+     - original_address_concat: replaced by a null-preserving xxhash64
+       signature (__oac_sig); its BF is equality-only. Text re-attached
+       post-filter.
+
+    ``with_bounds`` (the two-stage kernel only) additionally computes the
+    per-record full-histogram products feeding the B&B weight bounds —
+    the default path must not pay 16 bytes/pair for them through the
+    bandwidth-bound pair-attach exchange. ``rf=False`` (the right/messy
+    side): the product only ever reads the LEFT side's rel_freq, so the
+    right side doesn't ship one."""
+    out = df.select(keep)
+    for hist, pref, pa in (
+        ("token_rel_freq_arr_hist", "__th", "__hist_pa"),
+        ("common_end_tokens_hist", "__ch", "__cet_pa"),
+    ):
+        if hist not in out.columns:
+            continue
+        if with_bounds:
+            out = out.withColumn(pa, F.expr(_prod_all_sql(hist)))
+        e1, e2, e3 = X.gensym("e"), X.gensym("e"), X.gensym("e")
+        out = out.withColumn(
+            f"{pref}_tok", F.expr(f"transform({hist}, {e1} -> xxhash64({e1}.tok))")
+        ).withColumn(
+            f"{pref}_cnt", F.expr(f"transform({hist}, {e2} -> {e2}.cnt)")
+        )
+        if rf:
+            out = out.withColumn(
+                f"{pref}_rf",
+                F.expr(f"transform({hist}, {e3} -> {e3}.rel_freq)"),
+            )
+        out = out.drop(hist)
+    if "numeric_token_1" in out.columns:
+        # digit run extracted once per record; the n1 cascade's level 3
+        # compares these instead of regexp_extract-ing per pair
+        out = out.withColumn(
+            "__nt1_dg",
+            F.expr("nullif(regexp_extract(numeric_token_1, '\\\\d+', 0), '')"),
+        )
+    if "postcode" in out.columns:
+        # postcode area/incode split once per record: split_part on the
+        # pair path compiles a java.util.regex Pattern per CALL (see
+        # comparison_bf_sqls precomputed_pc_parts) — measured ~25% of
+        # scoring-stage CPU before this
+        out = out.withColumn(
+            "__pc_area", F.expr("split_part(postcode, ' ', 1)")
+        ).withColumn("__pc_in", F.expr("split_part(postcode, ' ', 2)"))
+    if "original_address_concat" in out.columns:
+        out = out.withColumn(
+            "__oac_sig",
+            F.when(
+                F.col("original_address_concat").isNotNull(),
+                F.xxhash64("original_address_concat"),
+            ),
+        ).drop("original_address_concat")
+    return out
+
+
 def attach_numeric_tf(df: DataFrame, numeric_tf: DataFrame, suffix: str) -> DataFrame:
     """Broadcast-join tf_numeric_token_k for k=1..3 on one side's columns."""
     for k in (1, 2, 3):
@@ -734,98 +825,10 @@ def score_pairs(
     keep_l = [c for c in cleaned_l.columns if c in scoring_cols]
     keep_r = [c for c in cleaned_r.columns if c in scoring_cols]
 
-    # COMPACT the pair-shuffle payload. Every candidate pair (23M at 250k
-    # docs) carries both sides' comparison inputs through two exchanges,
-    # but only the ~5% surviving the threshold need display columns —
-    # measured per-stage executor-CPU shows the attach/scoring stages
-    # dominated by payload bytes (memory bandwidth) at high parallelism:
-    #  - token histogram: tok -> xxhash64(tok), then split into PARALLEL
-    #    primitive arrays (__th_tok array<bigint>, __th_cnt array<bigint>,
-    #    __th_rf array<double> on the left side only — the intersection
-    #    product never reads the right side's rel_freq). Intersection
-    #    needs token EQUALITY only (collision odds inside one pair's
-    #    ~30-token vocabulary: ~2^-59); dense primitive arrays drop the
-    #    per-entry struct headers from the exchange and let the probe
-    #    short-circuit (array_position) instead of filtering.
-    #  - common-end histogram: same encoding (__ch_*; its BF is also
-    #    intersection-only). The STRING form the second pass needs is
-    #    re-attached post-filter.
-    #  - original_address_concat: replaced by a null-preserving xxhash64
-    #    signature (__oac_sig); its BF is equality-only. Text re-attached
-    #    post-filter.
-    def _prod_all_sql(hist: str) -> str:
-        # product over ALL of one side's histogram entries of
-        # rel_freq^cnt — a LOWER bound on the pairwise intersection
-        # product (intersection ⊆ side, min(cnt_l,cnt_r) <= cnt_side,
-        # every factor <= 1), hence bucketed it upper-bounds the
-        # histogram BF per pair WITHOUT touching the per-pair product.
-        # Computed once per RECORD here (n rows), not per pair.
-        a, e = X.gensym("a"), X.gensym("e")
-        return (
-            f"aggregate({hist}, 1.0D, ({a}, {e}) -> "
-            f"{a} * pow({e}.rel_freq, cast({e}.cnt as double)))"
-        )
-
-    def _compact(df: DataFrame, keep: list[str], rf: bool = True) -> DataFrame:
-        out = df.select(keep)
-        for hist, pref, pa in (
-            ("token_rel_freq_arr_hist", "__th", "__hist_pa"),
-            ("common_end_tokens_hist", "__ch", "__cet_pa"),
-        ):
-            if hist not in out.columns:
-                continue
-            if early_exit:
-                # per-record bound input for the two-stage kernel only —
-                # the default path must not pay 16 bytes/pair for it
-                # through the bandwidth-bound pair-attach exchange
-                out = out.withColumn(pa, F.expr(_prod_all_sql(hist)))
-            # PARALLEL-ARRAY histogram encoding: dense primitive arrays
-            # (tok hashes, cnts, left-side rel_freqs) instead of an
-            # array of structs — the per-entry struct headers vanish
-            # from the pair-attach exchange, and the kernel's membership
-            # probe becomes a short-circuiting array_position over a
-            # packed long array (_hist_prod_parallel_sql). rf=False
-            # (the right/messy side): the product only ever reads the
-            # LEFT side's rel_freq, so the right side doesn't ship one.
-            e1, e2, e3 = X.gensym("e"), X.gensym("e"), X.gensym("e")
-            out = out.withColumn(
-                f"{pref}_tok", F.expr(f"transform({hist}, {e1} -> xxhash64({e1}.tok))")
-            ).withColumn(
-                f"{pref}_cnt", F.expr(f"transform({hist}, {e2} -> {e2}.cnt)")
-            )
-            if rf:
-                out = out.withColumn(
-                    f"{pref}_rf",
-                    F.expr(f"transform({hist}, {e3} -> {e3}.rel_freq)"),
-                )
-            out = out.drop(hist)
-        if "numeric_token_1" in out.columns:
-            # digit run extracted once per record; the n1 cascade's level 3
-            # compares these instead of regexp_extract-ing per pair
-            out = out.withColumn(
-                "__nt1_dg",
-                F.expr("nullif(regexp_extract(numeric_token_1, '\\\\d+', 0), '')"),
-            )
-        if "postcode" in out.columns:
-            # postcode area/incode split once per record: split_part on the
-            # pair path compiles a java.util.regex Pattern per CALL (see
-            # comparison_bf_sqls precomputed_pc_parts) — measured ~25% of
-            # scoring-stage CPU before this
-            out = out.withColumn(
-                "__pc_area", F.expr("split_part(postcode, ' ', 1)")
-            ).withColumn("__pc_in", F.expr("split_part(postcode, ' ', 2)"))
-        if "original_address_concat" in out.columns:
-            out = out.withColumn(
-                "__oac_sig",
-                F.when(
-                    F.col("original_address_concat").isNotNull(),
-                    F.xxhash64("original_address_concat"),
-                ),
-            ).drop("original_address_concat")
-        return out
-
-    left = _suffix(_compact(cleaned_l, keep_l), "_l")
-    right = _suffix(_compact(cleaned_r, keep_r, rf=False), "_r")
+    left = _suffix(_compact(cleaned_l, keep_l, with_bounds=early_exit), "_l")
+    right = _suffix(
+        _compact(cleaned_r, keep_r, rf=False, with_bounds=early_exit), "_r"
+    )
     bcast_sides = _sides_broadcastable(cleaned_l, cleaned_r)
     if bcast_sides:
         # BROADCAST the compact sides: the two-key attach otherwise

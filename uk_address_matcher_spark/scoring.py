@@ -756,10 +756,19 @@ def score_pairs(
     removes only ~17%, while the bound columns + extra per-group sort
     cost ~15% wall (sf0.1 A/B, min-of-2 per variant across interleaved
     processes: single-stage 35.1s vs two-stage 41.0s, identical 245,821
-    predictions — tools/ab_link.py, BENCH/BASELINE.md round 5). The
-    switch stays for corpora where cross-block junk dominates (candidate
-    sets with many provably-sub-threshold pairs), where stage 1's cut is
-    structural. Mechanism when on: stage 1 computes the six
+    predictions — tools/ab_link.py, BENCH/BASELINE.md round 5). Round 6
+    tested the hypothesized junk-heavy activation corpus (postcode-skewed:
+    50% of rows in 50 postcodes, 6.1M blocked pairs of which most are
+    cross-street junk — tools/bnb_probe.py, BENCH/r06_bnb_probe.json):
+    the rank bound there removes 68.3% of pairs before stage 2, yet the
+    interleaved A/B still loses 5% (single 41.9 s vs bnb 44.3 s min,
+    identical 147,915 predictions — BENCH/r06_ab_skew.json), because the
+    rank bound's per-group window sort costs as much as the histogram
+    products it skips. DECISION RULE: enable early_exit only when
+    tools/bnb_probe.py shows ub_cut_pct is large (>~40%) — i.e. the
+    CHEAP comparisons alone prove many pairs sub-threshold; a large
+    rank-cut alone (68% measured) does NOT pay. No measured corpus
+    reaches that, so the default stays single-stage. Mechanism when on: stage 1 computes the six
     CHEAP scalar comparisons (equality/levenshtein on short strings) plus
     sound per-pair bounds on the total weight; the expensive
     token-histogram intersection product (the 34-level ladder, measured

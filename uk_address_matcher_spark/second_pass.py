@@ -199,8 +199,21 @@ def improve_predictions_using_distinguishing_tokens(
         # under a checkpointer the barrier is DURABLE: the rescoring pass
         # becomes resumable mid-way (a kill between pass 1 and pass 2
         # restarts from pass2_per_pair, not from blocking) and the wide
-        # tokenised rows leave executor memory
+        # tokenised rows leave executor memory.
         per_pair = checkpointer.checkpoint(per_pair, "pass2_per_pair")
+        # Size the pass-2 exchange by CORES, not bytes: reading the
+        # barrier back from storage, the groupBy/join below need a hash
+        # exchange on unique_id_r anyway, and AQE's byte-targeted
+        # coalescing sizes it to ~1 ragged wave (9-13 tasks at 8 cores
+        # measured) because this stage is CPU-dense per byte (~3 CPU-s/MB
+        # of map algebra over a ~35 MB artifact). An explicit repartition
+        # on the SAME key replaces — not adds to — that exchange (the
+        # groupBy and the join-back both reuse the partitioning), and
+        # 3 tasks/core keeps the wave balanced at every width. The
+        # in-memory path below keeps the window's cached partitioning
+        # (zero exchanges) — repartitioning there would ADD an exchange.
+        par = 3 * per_pair.sparkSession.sparkContext.defaultParallelism
+        per_pair = per_pair.repartition(par, "unique_id_r")
     else:
         per_pair = per_pair.cache()
         per_pair.count()

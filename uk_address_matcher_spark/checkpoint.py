@@ -1,6 +1,6 @@
 """Per-pass durable checkpoints with lineage + per-partition metrics + resume.
 
-Each pipeline pass (cleaned tables, blocked pairs, pass-1/pass-2
+Each pipeline pass (cleaned tables, pass-1/pass-2
 predictions, clustering iterations) can be checkpointed: the DataFrame is
 written out, a manifest entry records lineage (name, path, schema,
 row/partition counts), and the returned DataFrame reads back from storage

@@ -84,7 +84,7 @@ def get_spark(
         # FILE-scan splits get the same treatment as AQE shuffle reads
         # (and for the same reason): the durable pass artifacts are
         # CPU-dense per byte — the pass-1 scoring stage reads the 552 MB
-        # blocked-pairs checkpoint and burns ~774 executor-CPU-s on it
+        # (round-5) blocked-pairs checkpoint and burned ~774 executor-CPU-s on it
         # (~1.9 CPU-s/MB; event-log profile, 1M docs / 16 cores). At the
         # 128 MB default that stage split into 16 tasks — ONE wave at 16
         # cores, so its wall was its slowest task (56.8 s vs a 48.4 s

@@ -282,12 +282,12 @@ Job: full two-pass address linkage + transitive clustering over the
 deterministic grid corpus ({n:,} canonical + {n:,} messy interleaved
 documents), identical input at both parallelism levels (result row counts
 asserted equal). Sandbox proxy for N vs 4N executors per the driver
-instruction — same job, local[8] vs local[32].
+instruction — same job, local[{lo["cpus"]}] vs local[{hi["cpus"]}].
 
 | level | cores | wall (s) | docs/s | predictions | cluster rows |
 |---|---|---|---|---|---|
-| N | 8 | {lo["seconds"]} | {lo["docs_per_sec"]} | {lo["n_predictions"]} | {lo["n_cluster_rows"]} |
-| 4N | 32 | {hi["seconds"]} | {hi["docs_per_sec"]} | {hi["n_predictions"]} | {hi["n_cluster_rows"]} |
+| N | {lo["cpus"]} | {lo["seconds"]} | {lo["docs_per_sec"]} | {lo["n_predictions"]} | {lo["n_cluster_rows"]} |
+| 4N | {hi["cpus"]} | {hi["seconds"]} | {hi["docs_per_sec"]} | {hi["n_predictions"]} | {hi["n_cluster_rows"]} |
 
 **Full-pipeline scaling efficiency (T_N / T_4N) / 4 = {eff}**; the gap to
 1.0 is orchestration latency (clustering iteration barriers, per-pass
@@ -299,8 +299,8 @@ Compute-kernel scaling (the pairwise Fellegi-Sunter scoring stage over
 
 | level | cores | wall (s) | pairs/s |
 |---|---|---|---|
-| N | 8 | {klo["seconds"]} | {klo["pairs_per_sec"]} |
-| 4N | 32 | {khi["seconds"]} | {khi["pairs_per_sec"]} |
+| N | {klo["cpus"]} | {klo["seconds"]} | {klo["pairs_per_sec"]} |
+| 4N | {khi["cpus"]} | {khi["seconds"]} | {khi["pairs_per_sec"]} |
 
 **Kernel scaling efficiency = {keff}** (target >= 0.8).
 

@@ -102,8 +102,12 @@ def test_second_pass_resumes_from_pass2_per_pair(spark, tmp_path):
         rows,
         "unique_id string, address_concat string, postcode string, side string, test_block int",
     )
-    canon = flat.filter(F.col("side") == "canonical").drop("side")
-    messy = flat.filter(F.col("side") == "messy").drop("side")
+    # side values in the edge corpus are 'c'/'m' (a previous revision
+    # filtered on 'canonical'/'messy', which silently ran this test on
+    # EMPTY frames and made the resume assertion vacuous — hence the
+    # n1 > 0 guard below)
+    canon = flat.filter(F.col("side") == "c").drop("side")
+    messy = flat.filter(F.col("side") == "m").drop("side")
     side = build_side_tables(
         spark, canon, rel_tok_freq=domain_token_frequencies(spark)
     )
@@ -113,6 +117,7 @@ def test_second_pass_resumes_from_pass2_per_pair(spark, tmp_path):
         canon, messy, side, rules=block_on(["test_block"]), checkpointer=ck
     )
     n1 = out1.count()
+    assert n1 > 0, "edge corpus must produce predictions"
     assert ck.has("pass1_candidates") and ck.has("pass2_per_pair")
 
     # "killed after pass 2's barrier": a resume run must reuse both

@@ -310,8 +310,12 @@ def link_cleaned(
     # 10^6-row encode for nothing
     if not second_pass:
         return _tag_source_datasets(pred)
+    # assume_pruned: score_pairs fused EXACTLY this threshold+top-n cut
+    # above (prune_top_n uses the same constants), so the second pass's
+    # idempotent re-prune — one exchange + window sort over the whole
+    # candidate set — is skipped (§2.4)
     improved = improve_predictions_using_distinguishing_tokens(
-        pred, checkpointer=checkpointer
+        pred, checkpointer=checkpointer, assume_pruned=True
     )
     if checkpointer is not None:
         improved = checkpointer.checkpoint(improved, "predictions_pass2")

@@ -906,6 +906,19 @@ def score_pairs(
         # cover the matching columns).
         df = df.select("unique_id_l", "unique_id_r", "match_weight")
     if top_n is not None:
+        # Size the window's exchange by CORES, not bytes (same rationale
+        # and same replace-not-add mechanics as the second pass's
+        # per_pair repartition): the top-n window needs a hash exchange
+        # on unique_id_r anyway, and AQE's byte-targeted coalescing sizes
+        # this CPU-dense, byte-light stage to ~1 ragged wave (9-13 tasks
+        # at 8 cores measured on the pass-1 write job). An explicit
+        # partition count on the SAME key pre-empts that exchange — the
+        # window reuses the partitioning — keeps ~3 balanced waves per
+        # core at any width, and (under a checkpointer) fans the pass-1
+        # artifact into core-count-derived files so the next pass's scan
+        # parallelism follows too.
+        par = 3 * df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par, "unique_id_r")
         w = Window.partitionBy("unique_id_r").orderBy(
             F.desc("match_weight"), F.desc("unique_id_l")
         )

@@ -149,9 +149,20 @@ def improve_predictions_using_distinguishing_tokens(
     top_n_matches: int = PRUNE_TOP_N,
     use_bigrams: bool = True,
     checkpointer=None,
+    assume_pruned: bool = False,
 ) -> DataFrame:
+    """``assume_pruned=True``: the caller guarantees ``df_predict`` is
+    EXACTLY ``prune_candidates(df, match_weight_threshold, top_n_matches)``
+    already — the linkage driver fuses that cut into score_pairs — so the
+    idempotent re-prune here (a full exchange + window sort over the
+    candidate set, §2.4 "remove shuffles outright") is skipped. Default
+    False preserves the standalone API contract."""
     # Step 1-2: threshold + top-n per messy record
-    top = prune_candidates(df_predict, match_weight_threshold, top_n_matches)
+    top = (
+        df_predict
+        if assume_pruned
+        else prune_candidates(df_predict, match_weight_threshold, top_n_matches)
+    )
 
     # Step 3: strip up to 2 common end tokens (from the messy side's set).
     # EFFECTIVE reference behaviour: only tokens_r sees the stripped text —

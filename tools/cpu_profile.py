@@ -87,6 +87,7 @@ def parse_events(app_id: str) -> dict:
                 "job": e["Job ID"],
                 "t0": e["Submission Time"],
                 "desc": desc,
+                "stage_ids": list(e.get("Stage IDs", [])),
             }
             for sid in e.get("Stage IDs", []):
                 stage_desc[sid] = desc
@@ -146,30 +147,42 @@ def main():
     messy = extract_addresses(messy_docs).cache()
     canon.count(), messy.count()
 
-    t_setup = time.time()
-    side = build_side_tables(spark, canon, rel_tok_freq=domain_token_frequencies(spark))
-    ck = None
-    ck_dir = None
-    if os.environ.get("CPU_PROFILE_CHECKPOINT", "0") == "1":
-        # mirror tools/scaling_bench.py: durable per-pass checkpoints (the
-        # north-rule configuration) — the serial/parallel split of the
-        # checkpointed pipeline differs from the cache-based one
-        from uk_address_matcher_spark.checkpoint import CheckpointManager
-
-        ck_dir = os.path.join(tempfile.gettempdir(), f"uam_prof_ck_{os.getpid()}")
-        shutil.rmtree(ck_dir, ignore_errors=True)
-        ck = CheckpointManager(spark, ck_dir)
-    improved = link_addresses(canon, messy, side, checkpointer=ck)
+    # CPU_PROFILE_REPS>1 repeats the identical flagship flow and reports
+    # ONLY the last rep's jobs/stages — a JIT-warm profile (the bench's
+    # min-of-reps methodology), vs the default cold-JVM single shot
+    reps = int(os.environ.get("CPU_PROFILE_REPS", "1"))
     pred_path = os.path.join(tempfile.gettempdir(), f"uam_prof_{os.getpid()}.parquet")
-    improved.select("unique_id_l", "unique_id_r", "match_weight").write.mode(
-        "overwrite"
-    ).parquet(pred_path)
-    spark.catalog.clearCache()
-    slim = spark.read.parquet(pred_path)
-    n_pred = slim.count()
-    clusters = cluster_predictions(slim, threshold_match_weight=5.0)
-    n_clusters = clusters.count()
-    wall = time.time() - t_setup
+    t_setup = wall = t_last_ms = 0.0
+    for rep in range(reps):
+        canon.cache().count(), messy.cache().count()
+        t_setup = time.time()
+        t_last_ms = t_setup * 1000.0
+        side = build_side_tables(
+            spark, canon, rel_tok_freq=domain_token_frequencies(spark)
+        )
+        ck = None
+        ck_dir = None
+        if os.environ.get("CPU_PROFILE_CHECKPOINT", "0") == "1":
+            # mirror tools/scaling_bench.py: durable per-pass checkpoints
+            # (the north-rule configuration) — the serial/parallel split of
+            # the checkpointed pipeline differs from the cache-based one
+            from uk_address_matcher_spark.checkpoint import CheckpointManager
+
+            ck_dir = os.path.join(
+                tempfile.gettempdir(), f"uam_prof_ck_{os.getpid()}"
+            )
+            shutil.rmtree(ck_dir, ignore_errors=True)
+            ck = CheckpointManager(spark, ck_dir)
+        improved = link_addresses(canon, messy, side, checkpointer=ck)
+        improved.select("unique_id_l", "unique_id_r", "match_weight").write.mode(
+            "overwrite"
+        ).parquet(pred_path)
+        spark.catalog.clearCache()
+        slim = spark.read.parquet(pred_path)
+        n_pred = slim.count()
+        clusters = cluster_predictions(slim, threshold_match_weight=5.0)
+        n_clusters = clusters.count()
+        wall = time.time() - t_setup
     spark.stop()
     shutil.rmtree(pred_path, ignore_errors=True)
     pass_walls = {}
@@ -183,6 +196,20 @@ def main():
         shutil.rmtree(ck_dir, ignore_errors=True)
 
     prof = parse_events(app_id)
+    if reps > 1:
+        # window to the LAST rep: jobs submitted after its t0, and only
+        # the stages those jobs own
+        prof["jobs"] = [j for j in prof["jobs"] if j["t0"] >= t_last_ms - 500]
+        keep = {sid for j in prof["jobs"] for sid in j.get("stage_ids", [])}
+        prof["stages"] = {
+            sid: st for sid, st in prof["stages"].items() if sid in keep
+        }
+        prof["gaps"] = [
+            g
+            for g in prof["gaps"]
+            if any(j["job"] == g["after_job"] for j in prof["jobs"])
+            and any(j["job"] == g["before_job"] for j in prof["jobs"])
+        ]
     stages = sorted(prof["stages"].items(), key=lambda kv: -kv[1]["cpu_s"])
     total_cpu = sum(s["cpu_s"] for _, s in stages)
     total_gap = sum(g["gap_s"] for g in prof["gaps"])

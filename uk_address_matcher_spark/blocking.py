@@ -137,6 +137,20 @@ def block(
     pairs = kl.join(kr.withColumnRenamed("unique_id", "unique_id_r"), join_cols).select(
         F.col("unique_id").alias("unique_id_l"), "unique_id_r"
     )
+    # The dedup's hash exchange on the id pair FEEDS the scoring kernel:
+    # every downstream attach join is a broadcast, so the kernel stage's
+    # task count IS this exchange's width. Left to AQE, byte-targeted
+    # coalescing sizes it to ~1 task/core (the pair rows are narrow but
+    # the kernel is CPU-dense per byte: measured 171.5 executor-CPU-s over
+    # 32 tasks, max task 7.4 s vs mean 5.4 s — one ragged wave). An
+    # explicit repartition on the SAME key replaces — not adds to — the
+    # exchange the dedup aggregate needs (the aggregate reuses the
+    # partitioning), and 3 tasks/core keeps the wave balanced at any
+    # parallelism. Trade-off: map-side partial dedup is lost, but only
+    # same-map-task duplicate pairs ever combined early, and the rows are
+    # two ids.
+    n_part = 3 * cleaned_l.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part, "unique_id_l", "unique_id_r")
     return pairs.dropDuplicates(["unique_id_l", "unique_id_r"])
 
 

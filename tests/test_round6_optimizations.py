@@ -82,3 +82,31 @@ def test_checkpointed_linkage_writes_no_raw_pair_artifact(spark, tmp_path):
     assert "blocked_pairs" not in passes
     assert {"cleaned_all", "pass1_candidates", "pass2_per_pair",
             "predictions_pass2"} <= passes
+
+
+def test_fused_disjointness_guard(spark):
+    # 3. the disjointness check is fused into bipartite_components' first
+    # driver action — same contract as the former standalone semi-join:
+    # overlapping id namespaces raise, disjoint ones cluster normally
+    import pytest
+
+    from uk_address_matcher_spark.clustering import cluster_predictions
+
+    ok = spark.createDataFrame(
+        [("c1", "m1", 9.0), ("c1", "m2", 9.0), ("c2", "m3", 9.0)],
+        "unique_id_l string, unique_id_r string, match_weight double",
+    )
+    out = {
+        r["unique_id"]: r["cluster_id"]
+        for r in cluster_predictions(ok, 5.0).collect()
+    }
+    assert out == {"c1": "c1", "m1": "c1", "m2": "c1", "c2": "c2", "m3": "c2"}
+
+    overlapping = spark.createDataFrame(
+        [("c1", "x", 9.0), ("x", "m2", 9.0)],
+        "unique_id_l string, unique_id_r string, match_weight double",
+    )
+    with pytest.raises(ValueError, match="BOTH sides"):
+        cluster_predictions(overlapping, 5.0)
+    # opting out skips the guard (caller-guaranteed disjointness)
+    assert cluster_predictions(ok, 5.0, check_disjoint=False).count() == 5

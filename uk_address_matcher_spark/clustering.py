@@ -135,6 +135,7 @@ def bipartite_components(
     max_rounds: int = 12,
     checkpointer=None,
     driver_merge_limit: int = 500_000,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """(node, component) for a BIPARTITE edge set (src = canonical side,
     dst = messy side, the shape every match graph has: every scored pair
@@ -170,17 +171,41 @@ def bipartite_components(
     )
 
     # fast path: conflict pairs straight from the raw edges (labels are
-    # the identity at round 0, so no label join is needed)
-    m_min = e0.groupBy("m").agg(F.min("c").alias("mlab"))
+    # the identity at round 0, so no label join is needed). m_min feeds
+    # the conflict probe here AND the m_lab branch of the endgame below —
+    # cached so the endgame's finalise job reuses the aggregation instead
+    # of re-running its exchange over e0.
+    m_min = e0.groupBy("m").agg(F.min("c").alias("mlab")).cache()
     conflicts0 = (
         e0.join(m_min, "m")
         .filter(F.col("c") != F.col("mlab"))
         .select("c", "mlab")
         .distinct()
     )
-    conf_rows = [
-        (r[0], r[1]) for r in conflicts0.limit(driver_merge_limit + 1).collect()
-    ]
+    probe = conflicts0.select(F.lit("conf").alias("kind"), "c", "mlab").limit(
+        driver_merge_limit + 1
+    )
+    if check_disjoint:
+        # disjointness guard (see cluster_predictions), FUSED into the
+        # conflict collect as a tagged union so the fast path pays ONE
+        # driver action instead of two: an id on both sides = a c value
+        # that also appears as an m value of e0
+        overlap = (
+            e0.select("c")
+            .join(e0.select(F.col("m").alias("c")), "c", "left_semi")
+            .select(F.lit("overlap").alias("kind"), "c", F.lit(None).alias("mlab"))
+            .limit(5)
+        )
+        probe = probe.unionByName(overlap)
+    rows = probe.collect()
+    bad = [r for r in rows if r["kind"] == "overlap"]
+    if bad:
+        raise ValueError(
+            "cluster_predictions: id value(s) appear on BOTH sides of "
+            f"the pairs (e.g. {[r['c'] for r in bad]}); canonical "
+            "and messy ids must be disjoint — prefix them before linking."
+        )
+    conf_rows = [(r["c"], r["mlab"]) for r in rows if r["kind"] == "conf"]
     if len(conf_rows) <= driver_merge_limit:
         root = _union_find(conf_rows)
         spark = edges.sparkSession
@@ -212,9 +237,11 @@ def bipartite_components(
         # lifetime (its lineage feeds both the lab and m_lab branches)
         out = _finalise(lab, m_lab).localCheckpoint()
         e0.unpersist()
+        m_min.unpersist()
         return out
 
     n_edges = e0.count()
+    m_min.unpersist()
     # size the loop's shuffle width to the data: label frames are two
     # narrow strings, so ~500k edge rows per task keeps every stage at a
     # handful of tasks (driver/stage latency dominates these tiny loop
@@ -357,20 +384,12 @@ def cluster_predictions(
     edges = df_predict.filter(
         F.col("match_weight") >= threshold_match_weight
     ).select(F.col("unique_id_l").alias("src"), F.col("unique_id_r").alias("dst"))
-    if check_disjoint:
-        overlap = (
-            edges.select(F.col("src").alias("id"))
-            .join(edges.select(F.col("dst").alias("id")), "id", "left_semi")
-            .limit(5)
-            .collect()
-        )
-        if overlap:
-            raise ValueError(
-                "cluster_predictions: id value(s) appear on BOTH sides of "
-                f"the pairs (e.g. {[r['id'] for r in overlap]}); canonical "
-                "and messy ids must be disjoint — prefix them before linking."
-            )
-    cc = bipartite_components(edges, checkpointer=checkpointer)
+    # the disjointness guard is FUSED into bipartite_components' first
+    # driver action (a tagged union with the conflict probe) — one job
+    # instead of a separate semi-join collect before the real work
+    cc = bipartite_components(
+        edges, checkpointer=checkpointer, check_disjoint=check_disjoint
+    )
     return cc.select(
         F.col("node").alias("unique_id"), F.col("component").alias("cluster_id")
     )

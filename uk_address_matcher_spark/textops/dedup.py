@@ -178,8 +178,33 @@ def minhash_lsh_pairs(
     sharing any full band land in one bucket (one narrow shuffle on the
     band digest); candidates are verified with true shingle Jaccard.
     """
+    from uk_address_matcher_spark.cleaning.steps import let
+
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, n, num_hashes)
+    # ONE shingling pass: the signature branch and the verification
+    # shingle table both derive from a cached per-doc shingle array —
+    # previously each re-ran tokenise+shingle over every document
+    # (identical values either way; this is the minhash_signatures /
+    # shingle_table composition with the common subexpression hoisted)
+    params = minhash_params(num_hashes)
+
+    def _sigs(base: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE)
+                )
+                for a, b in params
+            ]
+        )
+
+    arr = (
+        _spread(df)
+        .select("doc_id", _shingles(F.col(text_col), n).alias("__sh_arr"))
+        .cache()
+    )
+    base_hashes = F.transform(F.col("__sh_arr"), lambda s: md5_int(s) % MERSENNE)
+    sigs = arr.select("doc_id", let(base_hashes, _sigs).alias("sig"))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -199,7 +224,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates()
     )
-    sh = shingle_table(df, text_col, n).cache()
+    sh = arr.select("doc_id", F.explode("__sh_arr").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # shingle is part of BOTH join keys: the intersection is produced by
     # the hash join itself (joining on doc only and filtering afterwards

@@ -131,6 +131,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", java_opts
+        ).config("spark.executor.extraJavaOptions", java_opts)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
